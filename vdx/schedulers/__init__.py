@@ -1,0 +1,31 @@
+"""Samplers as pure, scan-compatible function namespaces.
+
+Uniform surface per sampler module:
+  make_tables(num_inference_steps, cfg) -> Tables (NamedTuple of device arrays)
+  scale_model_input(sample, step_index, tables) -> sample fed to the model
+  step(sample, model_output, step_index, tables, cfg) -> next sample
+plus ``tables.timesteps`` (the model-facing t per step) and
+``tables.init_noise_sigma`` (initial latent scale).
+"""
+
+from vdx.schedulers import ddim, dpm, euler
+from vdx.schedulers.common import ScheduleConfig
+
+_SAMPLERS = {
+    "ddim": ddim,
+    "euler": euler,
+    "dpm": dpm,
+    "dpmsolver++": dpm,
+}
+
+
+def get_sampler(name: str):
+    try:
+        return _SAMPLERS[name.lower()]
+    except KeyError:
+        raise ValueError(
+            f"unknown sampler {name!r}; available: {sorted(_SAMPLERS)}"
+        ) from None
+
+
+__all__ = ["ddim", "euler", "dpm", "get_sampler", "ScheduleConfig"]

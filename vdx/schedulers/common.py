@@ -1,0 +1,112 @@
+"""Shared diffusion-schedule math.
+
+Implements the beta schedules and timestep grids with the exact semantics the
+reference configures on its diffusers schedulers:
+
+  * Euler baseline:  ``timestep_spacing="linspace", beta_schedule="linear"``
+    (reference experiments/01_baseline_generation.py:76-80)
+  * DDIM grid search: ``beta_schedule="linear", steps_offset=1,
+    clip_sample=False`` (reference experiments/05_grid_search_ablation.py:136-141)
+
+Both inherit the SD-1.5 training schedule: 1000 train timesteps,
+beta_start=0.00085, beta_end=0.012. All schedule math is fp32 (tiny and
+precision-critical — see core/dtypes.py).
+
+Everything here is a pure function of static config; outputs are device
+arrays suitable for closure into a jitted ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    """Training-time diffusion schedule (SD-1.5 defaults)."""
+
+    num_train_timesteps: int = 1000
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    beta_schedule: str = "linear"  # "linear" | "scaled_linear" | "squaredcos_cap_v2"
+    prediction_type: str = "epsilon"  # "epsilon" | "v_prediction" | "sample"
+
+
+def make_betas(cfg: ScheduleConfig) -> np.ndarray:
+    T = cfg.num_train_timesteps
+    if cfg.beta_schedule == "linear":
+        betas = np.linspace(cfg.beta_start, cfg.beta_end, T, dtype=np.float64)
+    elif cfg.beta_schedule == "scaled_linear":
+        betas = (
+            np.linspace(cfg.beta_start**0.5, cfg.beta_end**0.5, T, dtype=np.float64)
+            ** 2
+        )
+    elif cfg.beta_schedule == "squaredcos_cap_v2":
+        # Cosine schedule (Nichol & Dhariwal 2021), capped at 0.999.
+        def alpha_bar(t):
+            return np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+
+        ts = np.arange(T, dtype=np.float64)
+        betas = np.minimum(1.0 - alpha_bar((ts + 1) / T) / alpha_bar(ts / T), 0.999)
+    else:
+        raise ValueError(f"unknown beta_schedule: {cfg.beta_schedule}")
+    return betas.astype(np.float32)
+
+
+def make_alphas_cumprod(cfg: ScheduleConfig) -> np.ndarray:
+    betas = make_betas(cfg).astype(np.float64)
+    return np.cumprod(1.0 - betas).astype(np.float32)
+
+
+def timesteps_leading(num_train: int, num_steps: int, steps_offset: int = 0) -> np.ndarray:
+    """'leading' spacing (diffusers default; DDIM grid search path).
+
+    round(arange(n) * (T // n))[::-1] + steps_offset
+    """
+    step_ratio = num_train // num_steps
+    ts = (np.arange(0, num_steps) * step_ratio).round()[::-1].copy()
+    return (ts + steps_offset).astype(np.int32)
+
+
+def timesteps_linspace(num_train: int, num_steps: int) -> np.ndarray:
+    """'linspace' spacing (Euler baseline path): linspace(0, T-1, n)[::-1]."""
+    return (
+        np.linspace(0, num_train - 1, num_steps, dtype=np.float64)[::-1]
+        .round()
+        .astype(np.int32)
+        .copy()
+    )
+
+
+def timesteps_trailing(num_train: int, num_steps: int) -> np.ndarray:
+    """'trailing' spacing: arange(T, 0, -T/n).round() - 1."""
+    step = num_train / num_steps
+    ts = np.round(np.arange(num_train, 0, -step)).astype(np.int32) - 1
+    return ts.copy()
+
+
+def pred_x0_and_eps(
+    sample: jnp.ndarray,
+    model_output: jnp.ndarray,
+    alpha_prod_t: jnp.ndarray,
+    prediction_type: str,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Recover (x0, eps) from a model output under each prediction convention."""
+    sqrt_a = jnp.sqrt(alpha_prod_t)
+    sqrt_1ma = jnp.sqrt(1.0 - alpha_prod_t)
+    if prediction_type == "epsilon":
+        eps = model_output
+        x0 = (sample - sqrt_1ma * eps) / sqrt_a
+    elif prediction_type == "v_prediction":
+        x0 = sqrt_a * sample - sqrt_1ma * model_output
+        eps = sqrt_a * model_output + sqrt_1ma * sample
+    elif prediction_type == "sample":
+        x0 = model_output
+        eps = (sample - sqrt_a * x0) / sqrt_1ma
+    else:
+        raise ValueError(f"unknown prediction_type: {prediction_type}")
+    return x0, eps
