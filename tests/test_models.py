@@ -1,0 +1,164 @@
+"""Model shape/contract tests on tiny configs (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.clip_text import CLIPTextConfig, CLIPTextModel
+from vdx.models.tokenizer import BOS_ID, CONTEXT_LENGTH, EOS_ID, FallbackBPETokenizer
+from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
+from vdx.models.vae import AutoencoderKL, VAEConfig
+from vdx.nn.temporal import TemporalTransformer3D
+from vdx.ops.groupnorm import group_norm
+
+
+class TestGroupNorm:
+    def test_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5, 7, 32)).astype(np.float32)
+        scale = rng.standard_normal(32).astype(np.float32)
+        bias = rng.standard_normal(32).astype(np.float32)
+
+        ours = group_norm(jnp.asarray(x), 8, jnp.asarray(scale), jnp.asarray(bias))
+
+        gn = torch.nn.GroupNorm(8, 32, eps=1e-5)
+        with torch.no_grad():
+            gn.weight.copy_(torch.from_numpy(scale))
+            gn.bias.copy_(torch.from_numpy(bias))
+            # torch is channels-first
+            xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+            expected = gn(xt).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-5)
+
+    def test_5d_stats_span_frames(self):
+        """GN over [B,F,H,W,C] must differ from per-frame GN when frames differ."""
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, 4, 3, 3, 8)).astype(np.float32))
+        joint = group_norm(x, 2, None, None)
+        per_frame = jnp.stack(
+            [group_norm(x[:, f], 2, None, None) for f in range(4)], axis=1
+        )
+        assert not np.allclose(np.asarray(joint), np.asarray(per_frame), atol=1e-3)
+
+
+class TestTokenizer:
+    def test_shapes_and_special_tokens(self):
+        tok = FallbackBPETokenizer()
+        ids = tok(["a corgi walking on the beach", ""])
+        assert ids.shape == (2, CONTEXT_LENGTH)
+        assert ids[0, 0] == BOS_ID
+        assert EOS_ID in ids[0]
+        assert ids[1, 0] == BOS_ID and ids[1, 1] == EOS_ID
+
+    def test_determinism(self):
+        tok = FallbackBPETokenizer()
+        a = tok("portrait of a man with glasses")
+        b = tok("portrait of a man with glasses")
+        np.testing.assert_array_equal(a, b)
+
+
+class TestCLIPText:
+    def test_forward_shape(self):
+        cfg = CLIPTextConfig.tiny()
+        model = CLIPTextModel(cfg, policy=FP32_POLICY)
+        ids = jnp.zeros((2, 77), dtype=jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        out = model.apply(params, ids)
+        assert out.shape == (2, 77, cfg.hidden_size)
+        assert out.dtype == jnp.float32
+
+    def test_causality(self):
+        """Changing a later token must not affect earlier positions."""
+        cfg = CLIPTextConfig.tiny()
+        model = CLIPTextModel(cfg, policy=FP32_POLICY)
+        ids = jnp.ones((1, 10), dtype=jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        out1 = model.apply(params, ids)
+        ids2 = ids.at[0, 7].set(5)
+        out2 = model.apply(params, ids2)
+        np.testing.assert_allclose(out1[0, :7], out2[0, :7], atol=1e-5)
+        assert not np.allclose(out1[0, 7:], out2[0, 7:], atol=1e-5)
+
+
+class TestVAE:
+    def test_roundtrip_shapes(self):
+        cfg = VAEConfig.tiny()
+        vae = AutoencoderKL(cfg, policy=FP32_POLICY)
+        x = jnp.zeros((1, 32, 32, 3))
+        params = vae.init(jax.random.PRNGKey(0), x)
+        z = vae.apply(params, x, method=vae.encode)
+        assert z.shape == (1, 4, 4, 4)  # 8x spatial down
+        y = vae.apply(params, z, method=vae.decode)
+        assert y.shape == (1, 32, 32, 3)
+
+
+class TestTemporalModule:
+    def test_identity_batch_mixing(self):
+        """Motion module must mix ONLY across frames, never across batch/space."""
+        model = TemporalTransformer3D(heads=2, policy=FP32_POLICY)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((4, 3, 3, 16)).astype(np.float32)
+        )  # B=2, F=2
+        params = model.init(jax.random.PRNGKey(0), x, 2)
+        out1 = model.apply(params, x, 2)
+        assert out1.shape == x.shape
+        # Perturb batch element 1's frames; batch element 0 output unchanged.
+        x2 = x.at[2:].add(1.0)
+        out2 = model.apply(params, x2, 2)
+        np.testing.assert_allclose(out1[:2], out2[:2], atol=1e-5)
+
+    def test_frames_do_mix(self):
+        model = TemporalTransformer3D(heads=2, policy=FP32_POLICY)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((4, 3, 3, 16)).astype(np.float32)
+        )
+        params = model.init(jax.random.PRNGKey(0), x, 2)
+        out1 = model.apply(params, x, 2)
+        x2 = x.at[1].add(1.0)  # frame 1 of batch element 0
+        out2 = model.apply(params, x2, 2)
+        # frame 0 of the same batch element must change (attends to frame 1)
+        assert not np.allclose(out1[0], out2[0], atol=1e-6)
+
+
+class TestUNetMotion:
+    def test_forward_shape_and_determinism(self):
+        cfg = UNetMotionConfig.tiny()
+        model = UNetMotion(cfg, policy=FP32_POLICY)
+        B, F, H, W = 1, 4, 16, 16
+        sample = jnp.zeros((B, F, H, W, 4))
+        t = jnp.asarray([500])
+        ctx = jnp.zeros((B, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), sample, t, ctx)
+        out = model.apply(params, sample, t, ctx)
+        assert out.shape == (B, F, H, W, 4)
+        out2 = model.apply(params, sample, t, ctx)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+    def test_timestep_changes_output(self):
+        cfg = UNetMotionConfig.tiny()
+        model = UNetMotion(cfg, policy=FP32_POLICY)
+        sample = jnp.ones((1, 2, 16, 16, 4))
+        ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
+        params = model.init(jax.random.PRNGKey(0), sample, jnp.asarray([1]), ctx)
+        o1 = model.apply(params, sample, jnp.asarray([1]), ctx)
+        o2 = model.apply(params, sample, jnp.asarray([900]), ctx)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
+
+    def test_sd15_param_count(self):
+        """Full SD-1.5 + motion config lands near the reference's 1312.7M.
+
+        (docs/02_video_diffusion_architecture.md:85-94: UNet ~860M + motion
+        ~450M. Structural choices that can't be verified without weights —
+        e.g. per-block motion depth — make a ±15% band the honest check.)
+        """
+        cfg = UNetMotionConfig.sd15()
+        model = UNetMotion(cfg)
+        sample = jax.ShapeDtypeStruct((1, 2, 8, 8, 4), jnp.float32)
+        t = jax.ShapeDtypeStruct((1,), jnp.int32)
+        ctx = jax.ShapeDtypeStruct((1, 77, 768), jnp.float32)
+        params = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample, t, ctx)
+        n = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
+        assert 0.85e9 < n < 1.55e9, f"param count {n/1e6:.1f}M"

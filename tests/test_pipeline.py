@@ -1,0 +1,67 @@
+"""End-to-end pipeline tests on tiny configs (CPU, fp32)."""
+
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.clip_text import CLIPTextConfig
+from vdx.models.unet_motion import UNetMotionConfig
+from vdx.models.vae import VAEConfig
+from vdx.pipelines.animatediff import AnimateDiffPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    return AnimateDiffPipeline.with_random_params(
+        seed=0,
+        unet_config=UNetMotionConfig.tiny(),
+        vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig.tiny(),
+        policy=FP32_POLICY,
+    )
+
+
+GEN_KWARGS = dict(
+    num_frames=4, height=64, width=64, num_inference_steps=3, seed=42
+)
+
+
+class TestPipeline:
+    def test_generates_frames(self, tiny_pipe):
+        out = tiny_pipe("a corgi walking on the beach", output_type="np", **GEN_KWARGS)
+        frames = out.frames[0]
+        assert frames.shape == (4, 64, 64, 3)
+        assert frames.dtype == np.uint8
+
+    def test_determinism_same_seed(self, tiny_pipe):
+        a = tiny_pipe("portrait", output_type="np", **GEN_KWARGS).frames[0]
+        b = tiny_pipe("portrait", output_type="np", **GEN_KWARGS).frames[0]
+        np.testing.assert_array_equal(a, b)
+
+    def test_seed_changes_output(self, tiny_pipe):
+        kw = dict(GEN_KWARGS)
+        kw["seed"] = 7
+        a = tiny_pipe("portrait", output_type="np", **GEN_KWARGS).frames[0]
+        b = tiny_pipe("portrait", output_type="np", **kw).frames[0]
+        assert not np.array_equal(a, b)
+
+    def test_guidance_scale_changes_output(self, tiny_pipe):
+        a = tiny_pipe("portrait", guidance_scale=7.5, output_type="np", **GEN_KWARGS).frames[0]
+        b = tiny_pipe("portrait", guidance_scale=2.0, output_type="np", **GEN_KWARGS).frames[0]
+        assert not np.array_equal(a, b)
+
+    def test_prompt_changes_output(self, tiny_pipe):
+        a = tiny_pipe("portrait of a man", output_type="np", **GEN_KWARGS).frames[0]
+        b = tiny_pipe("birds flying across a blue sky", output_type="np", **GEN_KWARGS).frames[0]
+        assert not np.array_equal(a, b)
+
+    def test_all_schedulers_run(self, tiny_pipe):
+        for sched in ["euler", "ddim", "dpm"]:
+            out = tiny_pipe("portrait", scheduler=sched, output_type="np", **GEN_KWARGS)
+            assert out.frames[0].shape == (4, 64, 64, 3)
+
+    def test_pil_output(self, tiny_pipe):
+        out = tiny_pipe("portrait", **GEN_KWARGS)
+        frames = out.frames[0]
+        assert len(frames) == 4
+        assert frames[0].size == (64, 64)

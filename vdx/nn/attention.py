@@ -1,0 +1,96 @@
+"""Attention and feed-forward Flax modules (SD-1.5 conventions).
+
+Attention: to_q/to_k/to_v without bias, to_out with bias, per-head scaling
+1/sqrt(head_dim). Works as self-attention (context=None) or cross-attention
+(context = CLIP text states [B, 77, 768]). All matmuls route through
+ops.dot_product_attention so the Pallas flash kernel applies uniformly.
+
+FeedForward: GEGLU — Linear(C -> 8C), split, x * gelu(gate), Linear(4C -> C).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdx.core.dtypes import DEFAULT_POLICY, Policy
+from vdx.ops.attention import dot_product_attention
+
+
+class Attention(nn.Module):
+    query_dim: int
+    heads: int = 8
+    head_dim: int = 64
+    context_dim: Optional[int] = None  # None => self-attention
+    out_bias: bool = True
+    policy: Policy = DEFAULT_POLICY
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        inner = self.heads * self.head_dim
+        ctx = x if context is None else context
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats,
+            use_bias=False,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name=name,
+        )
+        q = dense(inner, "to_q")(x)
+        k = dense(inner, "to_k")(ctx)
+        v = dense(inner, "to_v")(ctx)
+
+        B, Sq = q.shape[0], q.shape[1]
+        Skv = k.shape[1]
+        q = q.reshape(B, Sq, self.heads, self.head_dim)
+        k = k.reshape(B, Skv, self.heads, self.head_dim)
+        v = v.reshape(B, Skv, self.heads, self.head_dim)
+
+        out = dot_product_attention(
+            q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl
+        )
+        out = out.reshape(B, Sq, inner)
+        return nn.Dense(
+            self.query_dim,
+            use_bias=self.out_bias,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="to_out",
+        )(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(
+            self.dim_out * 2,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="proj",
+        )(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = GEGLU(self.dim * self.mult, policy=self.policy, name="net_0")(x)
+        return nn.Dense(
+            self.dim,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="net_2",
+        )(h)

@@ -1,0 +1,122 @@
+"""ResNet / resampling blocks (channels-last, SD-1.5 semantics).
+
+ResnetBlock2D: GN(32,1e-5)-SiLU-conv3x3 -> +time_emb(SiLU-Linear) ->
+GN-SiLU-conv3x3 -> +skip (1x1 conv when channels change). This is the
+RESNET stage of the interleave the reference traces
+(reference experiments/03_trace_forward_pass.py:215-241:
+resnet -> spatial attn -> cross attn -> motion module).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdx.core.dtypes import DEFAULT_POLICY, Policy
+from vdx.ops.groupnorm import group_norm_silu
+
+
+def _conv(features: int, kernel: int, policy: Policy, name: str, stride: int = 1):
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=[(kernel // 2, kernel // 2)] * 2 if stride == 1 else [(1, 1), (1, 1)],
+        dtype=policy.compute_dtype,
+        param_dtype=policy.param_dtype,
+        name=name,
+    )
+
+
+class GroupNormModule(nn.Module):
+    """Affine GroupNorm as a parameter-holding module (fp32 stats)."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    policy: Policy = DEFAULT_POLICY
+    with_silu: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (C,), self.policy.param_dtype)
+        if self.with_silu:
+            return group_norm_silu(x, self.num_groups, scale, bias, self.eps)
+        from vdx.ops.groupnorm import group_norm
+
+        return group_norm(x, self.num_groups, scale, bias, self.eps)
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    use_time_emb: bool = True
+    groups: int = 32
+    eps: float = 1e-5
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNormModule(
+            self.groups, self.eps, self.policy, with_silu=True, name="norm1"
+        )(x)
+        h = _conv(self.out_channels, 3, self.policy, "conv1")(h)
+
+        if self.use_time_emb and temb is not None:
+            t = nn.silu(temb.astype(jnp.float32)).astype(self.policy.compute_dtype)
+            t = nn.Dense(
+                self.out_channels,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+                name="time_emb_proj",
+            )(t)
+            # temb is [B', C]; h is [B', H, W, C]
+            h = h + t[:, None, None, :]
+
+        h = GroupNormModule(
+            self.groups, self.eps, self.policy, with_silu=True, name="norm2"
+        )(h)
+        h = _conv(self.out_channels, 3, self.policy, "conv2")(h)
+
+        if in_channels != self.out_channels:
+            x = _conv(self.out_channels, 1, self.policy, "conv_shortcut")(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    """3x3 stride-2 conv, torch-style asymmetric (0,1) padding."""
+
+    out_channels: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # diffusers Downsample2D pads (0,1,0,1) then convs with padding=0
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.out_channels,
+            (3, 3),
+            strides=(2, 2),
+            padding="VALID",
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="conv",
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    """Nearest-neighbour 2x upsample + 3x3 conv."""
+
+    out_channels: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _conv(self.out_channels, 3, self.policy, "conv")(x)

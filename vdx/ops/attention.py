@@ -1,0 +1,83 @@
+"""Attention op with implementation dispatch.
+
+Single entry point for every attention in the framework (spatial self-attn,
+text cross-attn, temporal/motion attn — the three flavours the reference
+traces at experiments/03_trace_forward_pass.py:124-241). Shapes:
+
+    q: [B, Sq, H, D]   k, v: [B, Skv, H, D]   ->   [B, Sq, H, D]
+
+Implementations:
+  * ``xla``    — einsum + fp32 softmax. XLA fuses this well for short
+                 sequences (temporal F<=32, cross-attn Skv=77).
+  * ``flash``  — Pallas TPU flash-attention kernel (kernels/flash_attention.py)
+                 for long spatial sequences (HW up to 4096+) where the naive
+                 S×S score tensor would blow HBM traffic.
+  * ``auto``   — flash on TPU when the shape qualifies, else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _xla_attention(q, k, v, scale: float, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    # [B, S, H, D] -> [B, H, S, D]
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qt, kt, preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(scale, dtype=scores.dtype)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(vt.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vt, preferred_element_type=jnp.float32)
+    return jnp.swapaxes(out.astype(q.dtype), 1, 2)
+
+
+@functools.lru_cache(maxsize=1)
+def _flash_available() -> bool:
+    try:
+        from vdx.kernels import flash_attention  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _should_use_flash(q, k) -> bool:
+    # Flash pays off when the score matrix is large; short KV (cross-attn 77,
+    # temporal 16-32) is faster through plain XLA fusion.
+    sq, skv = q.shape[1], k.shape[1]
+    dh = q.shape[-1]
+    return sq >= 512 and skv >= 512 and dh <= 256
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, S, H, D] tensors."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if impl == "auto":
+        impl = (
+            "flash" if (mask is None and _flash_available() and _should_use_flash(q, k)) else "xla"
+        )
+
+    if impl == "flash":
+        from vdx.kernels.flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    if impl == "xla":
+        return _xla_attention(q, k, v, scale, mask)
+    raise ValueError(f"unknown attention impl {impl!r}")

@@ -1,0 +1,219 @@
+"""AnimateDiff text-to-video pipeline — jit-compiled end to end.
+
+The TPU-native rebuild of the pipeline object the reference drives
+(call sites: reference experiments/01_baseline_generation.py:100-105,
+05_grid_search_ablation.py:158-167). Same call surface:
+
+    pipe(prompt, negative_prompt=..., num_frames=16, guidance_scale=7.5,
+         num_inference_steps=25, height=512, width=512, seed=42)
+    -> output.frames[0]  (list of PIL images)
+
+TPU-first differences from the reference's torch path (SURVEY.md §2b):
+  * CFG is batched: cond+uncond run as ONE UNet forward per step
+    (batch axis 2B), not two sequential forwards.
+  * The whole denoise loop is a single ``jax.lax.scan`` under ``jit`` —
+    zero host round-trips between steps.
+  * VAE decode is frame-tiled inside XLA (``decode_frames_tiled``) instead
+    of eager ``enable_vae_slicing``.
+  * fp32 guidance/scheduler math around a bf16 UNet (core/dtypes policy).
+
+Compiled executables are cached per (shape, steps, sampler) signature.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdx.core.dtypes import DEFAULT_POLICY, Policy
+from vdx.core.rng import as_key
+from vdx.models.clip_text import CLIPTextConfig, CLIPTextModel
+from vdx.models.tokenizer import load_tokenizer
+from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
+from vdx.models.vae import AutoencoderKL, VAEConfig
+from vdx.schedulers import get_sampler
+
+
+@dataclasses.dataclass
+class PipelineOutput:
+    """``frames[0]`` is the list of PIL frames for the first (only) video —
+    the exact access pattern of the reference (01:108, 05:169)."""
+
+    frames: List[Any]
+    latents: Optional[jnp.ndarray] = None
+
+
+class AnimateDiffPipeline:
+    def __init__(
+        self,
+        unet_config: UNetMotionConfig = UNetMotionConfig(),
+        vae_config: VAEConfig = VAEConfig(),
+        text_config: CLIPTextConfig = CLIPTextConfig(),
+        params: Optional[dict] = None,
+        tokenizer=None,
+        policy: Policy = DEFAULT_POLICY,
+        scheduler: str = "euler",
+        attn_impl: str = "auto",
+    ):
+        self.unet = UNetMotion(unet_config, policy=policy, attn_impl=attn_impl)
+        self.vae = AutoencoderKL(vae_config, policy=policy)
+        self.text_encoder = CLIPTextModel(text_config, policy=policy)
+        self.tokenizer = tokenizer or load_tokenizer()
+        self.params = params
+        self.policy = policy
+        self.scheduler = scheduler
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    # Parameter initialisation / loading
+    # ------------------------------------------------------------------
+    @classmethod
+    def with_random_params(cls, seed: int = 0, **kwargs) -> "AnimateDiffPipeline":
+        """Seeded random weights — for benchmarking and offline testing.
+
+        (The zero-egress build environment has no model hub; real SD-1.5 /
+        motion-adapter checkpoints load through core.convert when present.)
+        """
+        pipe = cls(**kwargs)
+        pipe.params = pipe.init_params(seed)
+        return pipe
+
+    def init_params(self, seed: int = 0) -> dict:
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+        F, H, W = 2, 64, 64
+        sample = jnp.zeros((1, F, H // 8, W // 8, self.unet.config.in_channels))
+        t = jnp.zeros((1,), jnp.int32)
+        ctx = jnp.zeros((1, 77, self.unet.config.cross_attention_dim))
+        unet_params = self.unet.init(k1, sample, t, ctx)
+        vae_params = self.vae.init(k2, jnp.zeros((1, 64, 64, 3)))
+        text_params = self.text_encoder.init(k3, jnp.zeros((1, 77), jnp.int32))
+        return {"unet": unet_params, "vae": vae_params, "text": text_params}
+
+    # ------------------------------------------------------------------
+    # Compiled stages
+    # ------------------------------------------------------------------
+    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool):
+        """Build the jitted scan over denoise steps (cached per signature)."""
+        sampler = get_sampler(scheduler)
+        tables = sampler.make_tables(num_steps)
+        unet = self.unet
+        is_dpm = scheduler.startswith("dpm")
+
+        def denoise(unet_params, latents, context, guidance_scale):
+            # latents: [B, F, h, w, 4]; context: [2B or B, 77, D]
+            def body(carry, i):
+                if is_dpm:
+                    lat, prev_x0 = carry
+                else:
+                    lat = carry
+                t = tables.timesteps[i]
+                model_in = jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                model_in = sampler.scale_model_input(model_in, i, tables)
+                t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
+                eps = unet.apply(unet_params, model_in, t_batch, context)
+                if guidance:
+                    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
+                    eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+                if is_dpm:
+                    lat, x0 = sampler.step_multistep(lat, eps, i, prev_x0, tables)
+                    return (lat, x0), None
+                lat = sampler.step(lat, eps, i, tables)
+                return lat, None
+
+            init = (latents, jnp.zeros_like(latents)) if is_dpm else latents
+            out, _ = jax.lax.scan(body, init, jnp.arange(num_steps))
+            return out[0] if is_dpm else out
+
+        return jax.jit(denoise), tables
+
+    @functools.lru_cache(maxsize=8)
+    def _decode_fn(self, chunk: int):
+        vae = self.vae
+
+        def decode(vae_params, latents):  # [F, h, w, 4] -> [F, H, W, 3] uint8
+            z = latents.reshape(-1, chunk, *latents.shape[1:])
+            imgs = jax.lax.map(
+                lambda c: vae.apply(vae_params, c, method=vae.decode), z
+            )
+            imgs = imgs.reshape(-1, *imgs.shape[2:])
+            imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+            return jnp.round(imgs * 255.0).astype(jnp.uint8)
+
+        return jax.jit(decode)
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
+        """-> [2, 77, D] context, ordered (uncond, cond) like the CFG split."""
+        ids = self.tokenizer([negative_prompt or "", prompt])
+        return self.text_encoder.apply(self.params["text"], jnp.asarray(ids))
+
+    # ------------------------------------------------------------------
+    # Public API (reference-compatible kwargs)
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        prompt: Union[str, Sequence[str]],
+        negative_prompt: str = "",
+        num_frames: int = 16,
+        guidance_scale: float = 7.5,
+        num_inference_steps: int = 25,
+        height: int = 512,
+        width: int = 512,
+        seed: Union[int, jax.Array] = 0,
+        scheduler: Optional[str] = None,
+        output_type: str = "pil",
+        decode_chunk: int = 4,
+    ) -> PipelineOutput:
+        assert self.params is not None, "load or init params first"
+        scheduler = scheduler or self.scheduler
+        sampler = get_sampler(scheduler)
+        ds = self.vae.config.downscale
+        h, w = height // ds, width // ds
+        guidance = guidance_scale > 1.0
+
+        context = self.encode_prompt(
+            prompt if isinstance(prompt, str) else prompt[0], negative_prompt
+        )
+        if not guidance:
+            context = context[1:]
+
+        tables = sampler.make_tables(num_inference_steps)
+        latents = (
+            jax.random.normal(
+                as_key(seed), (1, num_frames, h, w, self.unet.config.in_channels),
+                dtype=jnp.float32,
+            )
+            * tables.init_noise_sigma
+        )
+
+        key = ("denoise", num_inference_steps, scheduler, guidance,
+               latents.shape, context.shape)
+        if key not in self._compiled:
+            self._compiled[key], _ = self._denoise_fn(
+                num_inference_steps, scheduler, guidance
+            )
+        denoise = self._compiled[key]
+        latents = denoise(
+            self.params["unet"], latents, context, jnp.float32(guidance_scale)
+        )
+
+        if output_type == "latent":
+            return PipelineOutput(frames=[], latents=latents)
+
+        chunk = max(1, min(decode_chunk, num_frames))
+        while num_frames % chunk:
+            chunk -= 1
+        frames_u8 = self._decode_fn(chunk)(self.params["vae"], latents[0])
+        frames_np = np.asarray(frames_u8)
+
+        if output_type == "np":
+            return PipelineOutput(frames=[frames_np], latents=latents)
+
+        from PIL import Image
+
+        pil = [Image.fromarray(f) for f in frames_np]
+        return PipelineOutput(frames=[pil], latents=latents)
