@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end text-to-video generation throughput on one chip.
+
+Workload = the reference's headline configuration (16 frames @ 512x512,
+25 DDIM steps, CFG 7.5 — reference experiments/05_grid_search_ablation.py:40-51)
+through the full jitted pipeline: CLIP encode -> 25-step lax.scan denoise with
+CFG batched into one UNetMotion forward (SD-1.5 + motion, 1.3B params, bf16,
+Pallas flash attention) -> frame-tiled VAE decode -> uint8 frames.
+
+Baseline: the reference generates ~2 min/video on an RTX 3060 (~0.133
+frames/s end-to-end, BASELINE.md). vs_baseline = ours / 0.1333.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Note: weights are seeded-random (the zero-egress build env has no model hub);
+throughput is weight-value-independent. Each timed run uses a fresh seed so
+no dispatch-level caching can short-circuit execution.
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from vdx.core.dtypes import Policy
+    from vdx.pipelines.animatediff import AnimateDiffPipeline
+
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    pipe = AnimateDiffPipeline.with_random_params(
+        seed=0, policy=policy, scheduler="ddim"
+    )
+    init_s = time.time() - t0
+
+    kwargs = dict(
+        negative_prompt="bad quality, blurry, distorted",
+        num_frames=16,
+        guidance_scale=7.5,
+        num_inference_steps=25,
+        height=512,
+        width=512,
+        output_type="np",
+        decode_chunk=2,
+    )
+    prompt = "a corgi walking on the beach, sunset lighting, high quality"
+
+    # Warmup (compile)
+    t0 = time.time()
+    out = pipe(prompt, seed=1234, **kwargs)
+    assert out.frames[0].shape == (16, 512, 512, 3)
+    compile_s = time.time() - t0
+
+    # Timed runs, fresh seed each -> unique dispatches end to end.
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = pipe(prompt, seed=100 + i, **kwargs)
+        out.frames[0][0, 0, 0, 0]  # force host materialisation
+        times.append(time.time() - t0)
+
+    sec_per_video = min(times)
+    frames_per_sec = 16.0 / sec_per_video
+    baseline_fps = 16.0 / 120.0  # reference: ~2 min/video (README.md:194-197)
+
+    result = {
+        "metric": "frames/sec/chip end-to-end (16f @512^2, 25 steps, CFG)",
+        "value": round(frames_per_sec, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_sec / baseline_fps, 2),
+        "sec_per_video": round(sec_per_video, 3),
+        "compile_s": round(compile_s, 1),
+        "init_s": round(init_s, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

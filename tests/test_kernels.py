@@ -1,0 +1,50 @@
+"""Pallas kernel tests — interpreter mode on CPU, numerics vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vdx.ops.attention import _xla_attention
+
+
+def _run_flash_interpret(q, k, v, scale, **kw):
+    """Run the flash kernel in Pallas interpret mode (no TPU needed)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention
+
+    with pltpu.force_tpu_interpret_mode():
+        return flash_attention(q, k, v, scale=scale, **kw)
+
+
+@pytest.mark.parametrize(
+    "B,S,H,D",
+    [
+        (1, 256, 2, 64),
+        (2, 512, 4, 128),
+        (1, 300, 2, 40),  # unaligned seq and head dim
+    ],
+)
+def test_flash_matches_xla(B, S, H, D):
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, H, D), jnp.float32)
+    k = jax.random.normal(kk, (B, S, H, D), jnp.float32)
+    v = jax.random.normal(kv, (B, S, H, D), jnp.float32)
+    scale = D**-0.5
+
+    expected = _xla_attention(q, k, v, scale, None)
+    got = _run_flash_interpret(q, k, v, scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_flash_cross_attention_shapes():
+    """Skv != Sq (cross-attention 77-token context)."""
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 256, 2, 64), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 77, 2, 64), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 77, 2, 64), jnp.float32)
+    expected = _xla_attention(q, k, v, 0.125, None)
+    got = _run_flash_interpret(q, k, v, 0.125, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)

@@ -1,0 +1,184 @@
+"""Flash attention — Pallas TPU kernel.
+
+Online-softmax blocked attention (no S x S score materialisation) for the
+UNet's long spatial self-attention sequences (64x64 latents -> S=4096, where
+naive attention would stream an 8 GB fp32 score tensor through HBM per
+forward). Replaces the cuDNN attention path the reference leans on through
+torch (SURVEY.md §2c).
+
+Layout contract: q, k, v are [B, S, H, D] (the ops.attention convention);
+internally folded to [B*H, S, D]. Head dim is zero-padded to the 128-lane
+boundary — padding contributes 0 to q.k^T scores and is sliced off the
+output, so results are exact.
+
+Grid: (BH, num_q_blocks, num_kv_blocks), kv innermost. TPU grids execute
+sequentially on a core, so the fp32 (acc, m, l) scratch carries the running
+softmax state across kv steps of one q block: the standard flash recurrence
+  m' = max(m, rowmax(s));  alpha = exp(m - m')
+  l' = alpha*l + rowsum(exp(s - m'));  acc' = alpha*acc + exp(s - m') @ v
+finalised as acc/l at the last kv step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]  # [BQ, D]
+    k = k_ref[0]  # [BK, D]
+    v = v_ref[0]  # [BK, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BQ, BK]
+    s = s * scale
+
+    m_prev = m_ref[:]  # [BQ, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [BQ, BK]
+
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = alpha * acc_ref[:] + pv
+    m_ref[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _pad_to(x, size, axis):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 512,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Attention over [B, S, H, D] tensors (no mask; bidirectional)."""
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+
+    # [B, S, H, D] -> [B*H, S, D]
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * x.shape[2], x.shape[1], x.shape[3])
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+
+    # Pad head dim to the 128-lane boundary; pad seq to block multiples.
+    Dp = max(128, ((D + 127) // 128) * 128)
+    bq = min(block_q, max(128, ((Sq + 127) // 128) * 128))
+    bk = min(block_k, max(128, ((Skv + 127) // 128) * 128))
+    Sqp = ((Sq + bq - 1) // bq) * bq
+    Skvp = ((Skv + bk - 1) // bk) * bk
+
+    qf = _pad_to(_pad_to(qf, Dp, 2), Sqp, 1)
+    kf = _pad_to(_pad_to(kf, Dp, 2), Skvp, 1)
+    vf = _pad_to(_pad_to(vf, Dp, 2), Skvp, 1)
+    # Padded KV rows must not receive softmax weight; the masked kernel
+    # variant pushes their scores to -inf via an iota comparison.
+    kv_steps = Skvp // bk
+    grid = (B * H, Sqp // bq, kv_steps)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel_masked if Skvp != Skv else _flash_kernel_nomask,
+            scale=scale,
+            kv_steps=kv_steps,
+            kv_len=Skv,
+            block_k=bk,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, Dp), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, bk, Dp), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, Dp), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Sqp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, Dp), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+        ],
+    )(qf, kf, vf)
+
+    out = out[:, :Sq, :D]
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
+
+
+def _flash_kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                         *, scale, kv_steps, kv_len, block_k):
+    del kv_len, block_k
+    _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  scale=scale, kv_steps=kv_steps)
+
+
+def _flash_kernel_masked(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                         *, scale, kv_steps, kv_len, block_k):
+    """Variant masking padded KV rows (only used when Skv % block_k != 0)."""
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kv_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = alpha * acc_ref[:] + pv
+    m_ref[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)

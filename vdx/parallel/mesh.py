@@ -1,0 +1,82 @@
+"""Device mesh and sharding rules.
+
+The reference is single-GPU with zero distributed backend (SURVEY.md §2d);
+scaling here is TPU-native from the start: a ``jax.sharding.Mesh`` with axes
+
+  * ``data``   — batch / independent experiments (DP; the grid search's
+                 embarrassingly-parallel outer loop, reference 05:316-334)
+  * ``frames`` — the temporal axis (SP; the motion module is the only
+                 cross-frame op, reference 03:266-275, so only it communicates)
+  * ``tensor`` — attention heads / MLP hidden (TP) for the 1.3B UNet
+
+XLA inserts the collectives (all-gather/reduce-scatter over ICI) from the
+shardings; no NCCL-style transport layer exists or is needed.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "frames", "tensor")
+
+
+def make_mesh(
+    data: int = 1, frames: int = 1, tensor: int = 1, devices=None
+) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = data * frames * tensor
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    grid = np.asarray(devices[:n]).reshape(data, frames, tensor)
+    return Mesh(grid, AXES)
+
+
+def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """Default layout for n chips: favour data, then frames, then tensor."""
+    n = n_devices or len(jax.devices())
+    data = frames = tensor = 1
+    if n % 2 == 0 and n >= 8:
+        data, frames, tensor = n // 4, 2, 2
+    elif n % 2 == 0 and n >= 4:
+        data, frames, tensor = n // 2, 2, 1
+    else:
+        data = n
+    return make_mesh(data, frames, tensor)
+
+
+def param_sharding_rules(params, mesh: Mesh, min_size: int = 2**16):
+    """Tensor-parallel shardings for a pytree of params.
+
+    Heuristic TP rule: large 2D kernels shard their output (last) axis over
+    ``tensor``; everything else replicates. This splits every attention
+    qkv/out projection and MLP across chips — the standard Megatron-style
+    split — while XLA's SPMD partitioner propagates the activation shardings
+    and inserts the collectives.
+    """
+    tensor_size = mesh.shape["tensor"]
+
+    def rule(x):
+        if (
+            tensor_size > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 2
+            and x.size >= min_size
+            and x.shape[-1] % tensor_size == 0
+        ):
+            spec = [None] * (x.ndim - 1) + ["tensor"]
+            return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(rule, params)
+
+
+def video_sharding(mesh: Mesh) -> NamedSharding:
+    """[B, F, H, W, C] latents: batch over data, frames over frames."""
+    return NamedSharding(mesh, P("data", "frames"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
