@@ -1,0 +1,36 @@
+"""Shared pipeline loader for the experiment CLIs."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def load_pipeline(tiny: bool = False, scheduler: str = "ddim"):
+    """Full (bf16 SD-1.5) or tiny (fp32 CI) AnimateDiff pipeline.
+
+    Weights: converted checkpoints when available (core.convert), otherwise
+    seeded random init — the zero-egress build environment has no model hub.
+    """
+    import jax.numpy as jnp
+
+    from vdx.core.dtypes import FP32_POLICY, Policy
+    from vdx.pipelines.animatediff import AnimateDiffPipeline
+
+    if tiny:
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+
+        return AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            scheduler=scheduler,
+        )
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    return AnimateDiffPipeline.with_random_params(
+        seed=0, policy=policy, scheduler=scheduler
+    )

@@ -1,0 +1,298 @@
+"""HF checkpoint -> vdx param-tree conversion.
+
+Converts diffusers/transformers torch checkpoints (SD-1.5 UNet + AnimateDiff
+motion adapter, AutoencoderKL, CLIP text encoder — the model zoo the
+reference pulls from the hub, reference experiments/01:55-87) into our Flax
+param trees.
+
+Layout transforms:
+  * Conv:   torch OIHW  -> flax HWIO   (transpose 2,3,1,0)
+  * Dense:  torch [out,in] -> flax [in,out] (transpose)
+  * Norms:  weight/bias -> scale/bias
+  * Embeds: identical
+
+The converter is *target-driven*: it walks OUR param tree, derives the
+expected HF key for every leaf via the rules below, and fails loudly with
+the full list of unmatched paths — silent transposes on a 1.3B-param model
+are the #1 conversion hazard (SURVEY.md §7 hard parts).
+
+In the zero-egress build environment there are no real checkpoints; the
+mapping logic is exercised by tests/test_convert.py against synthetic
+state dicts shaped from the rules themselves + our tiny configs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+# ----------------------------------------------------------------------
+# transforms
+# ----------------------------------------------------------------------
+
+
+def t_conv(w):  # OIHW -> HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def t_dense(w):  # [out, in] -> [in, out]
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def t_id(w):
+    return np.asarray(w)
+
+
+# ----------------------------------------------------------------------
+# UNetMotion mapping
+# ----------------------------------------------------------------------
+
+_ATTN_LEAF = {
+    "to_q/kernel": ("attn{j}.to_q.weight", t_dense),
+    "to_k/kernel": ("attn{j}.to_k.weight", t_dense),
+    "to_v/kernel": ("attn{j}.to_v.weight", t_dense),
+    "to_out/kernel": ("attn{j}.to_out.0.weight", t_dense),
+    "to_out/bias": ("attn{j}.to_out.0.bias", t_id),
+}
+
+
+def _transformer_block_rules(prefix: str, hf_prefix: str):
+    """Rules for one BasicTransformerBlock / TemporalBlock."""
+    rules = {}
+    for j, attn in ((1, "attn1"), (2, "attn2")):
+        for leaf, (hf_leaf, tr) in _ATTN_LEAF.items():
+            rules[f"{prefix}/{attn}/{leaf}"] = (
+                f"{hf_prefix}.{hf_leaf.format(j=j)}", tr,
+            )
+    for i in (1, 2, 3):
+        rules[f"{prefix}/norm{i}/LayerNorm_0/scale"] = (f"{hf_prefix}.norm{i}.weight", t_id)
+        rules[f"{prefix}/norm{i}/LayerNorm_0/bias"] = (f"{hf_prefix}.norm{i}.bias", t_id)
+    rules[f"{prefix}/ff/net_0/proj/kernel"] = (f"{hf_prefix}.ff.net.0.proj.weight", t_dense)
+    rules[f"{prefix}/ff/net_0/proj/bias"] = (f"{hf_prefix}.ff.net.0.proj.bias", t_id)
+    rules[f"{prefix}/ff/net_2/kernel"] = (f"{hf_prefix}.ff.net.2.weight", t_dense)
+    rules[f"{prefix}/ff/net_2/bias"] = (f"{hf_prefix}.ff.net.2.bias", t_id)
+    return rules
+
+
+def _resnet_rules(prefix: str, hf_prefix: str):
+    rules = {}
+    for ours, theirs, tr in [
+        ("norm1/scale", "norm1.weight", t_id),
+        ("norm1/bias", "norm1.bias", t_id),
+        ("conv1/kernel", "conv1.weight", t_conv),
+        ("conv1/bias", "conv1.bias", t_id),
+        ("time_emb_proj/kernel", "time_emb_proj.weight", t_dense),
+        ("time_emb_proj/bias", "time_emb_proj.bias", t_id),
+        ("norm2/scale", "norm2.weight", t_id),
+        ("norm2/bias", "norm2.bias", t_id),
+        ("conv2/kernel", "conv2.weight", t_conv),
+        ("conv2/bias", "conv2.bias", t_id),
+        ("conv_shortcut/kernel", "conv_shortcut.weight", t_conv),
+        ("conv_shortcut/bias", "conv_shortcut.bias", t_id),
+    ]:
+        rules[f"{prefix}/{ours}"] = (f"{hf_prefix}.{theirs}", tr)
+    return rules
+
+
+def _spatial_transformer_rules(prefix: str, hf_prefix: str, depth: int = 1):
+    rules = {
+        f"{prefix}/norm/scale": (f"{hf_prefix}.norm.weight", t_id),
+        f"{prefix}/norm/bias": (f"{hf_prefix}.norm.bias", t_id),
+        f"{prefix}/proj_in/kernel": (f"{hf_prefix}.proj_in.weight", t_conv),
+        f"{prefix}/proj_in/bias": (f"{hf_prefix}.proj_in.bias", t_id),
+        f"{prefix}/proj_out/kernel": (f"{hf_prefix}.proj_out.weight", t_conv),
+        f"{prefix}/proj_out/bias": (f"{hf_prefix}.proj_out.bias", t_id),
+    }
+    for d in range(depth):
+        rules.update(
+            _transformer_block_rules(
+                f"{prefix}/blocks_{d}", f"{hf_prefix}.transformer_blocks.{d}"
+            )
+        )
+    return rules
+
+
+def _motion_rules(prefix: str, hf_prefix: str, depth: int = 1):
+    rules = {
+        f"{prefix}/norm_scale": (f"{hf_prefix}.norm.weight", t_id),
+        f"{prefix}/norm_bias": (f"{hf_prefix}.norm.bias", t_id),
+        f"{prefix}/proj_in/kernel": (f"{hf_prefix}.proj_in.weight", t_dense),
+        f"{prefix}/proj_in/bias": (f"{hf_prefix}.proj_in.bias", t_id),
+        f"{prefix}/proj_out/kernel": (f"{hf_prefix}.proj_out.weight", t_dense),
+        f"{prefix}/proj_out/bias": (f"{hf_prefix}.proj_out.bias", t_id),
+    }
+    for d in range(depth):
+        rules.update(
+            _transformer_block_rules(
+                f"{prefix}/blocks_{d}", f"{hf_prefix}.transformer_blocks.{d}"
+            )
+        )
+    return rules
+
+
+def unet_motion_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our param path -> (HF state_dict key, transform) for UNetMotion."""
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/kernel": ("conv_in.weight", t_conv),
+        "conv_in/bias": ("conv_in.bias", t_id),
+        "time_embedding/linear_1/kernel": ("time_embedding.linear_1.weight", t_dense),
+        "time_embedding/linear_1/bias": ("time_embedding.linear_1.bias", t_id),
+        "time_embedding/linear_2/kernel": ("time_embedding.linear_2.weight", t_dense),
+        "time_embedding/linear_2/bias": ("time_embedding.linear_2.bias", t_id),
+        "conv_norm_out/scale": ("conv_norm_out.weight", t_id),
+        "conv_norm_out/bias": ("conv_norm_out.bias", t_id),
+        "conv_out/kernel": ("conv_out.weight", t_conv),
+        "conv_out/bias": ("conv_out.bias", t_id),
+    }
+    n = len(config.block_out_channels)
+    L = config.layers_per_block
+    for bi in range(n):
+        for li in range(L):
+            rules.update(
+                _resnet_rules(f"down_{bi}_{li}_resnet", f"down_blocks.{bi}.resnets.{li}")
+            )
+            if config.down_block_has_attn[bi]:
+                rules.update(
+                    _spatial_transformer_rules(
+                        f"down_{bi}_{li}_attn", f"down_blocks.{bi}.attentions.{li}",
+                        config.transformer_depth,
+                    )
+                )
+            rules.update(
+                _motion_rules(
+                    f"down_{bi}_{li}_motion", f"down_blocks.{bi}.motion_modules.{li}"
+                )
+            )
+        if bi < n - 1:
+            rules.update(
+                {
+                    f"down_{bi}_downsample/conv/kernel": (
+                        f"down_blocks.{bi}.downsamplers.0.conv.weight", t_conv,
+                    ),
+                    f"down_{bi}_downsample/conv/bias": (
+                        f"down_blocks.{bi}.downsamplers.0.conv.bias", t_id,
+                    ),
+                }
+            )
+    rules.update(_resnet_rules("mid_resnet_0", "mid_block.resnets.0"))
+    rules.update(_resnet_rules("mid_resnet_1", "mid_block.resnets.1"))
+    rules.update(
+        _spatial_transformer_rules(
+            "mid_attn", "mid_block.attentions.0", config.transformer_depth
+        )
+    )
+    rules.update(_motion_rules("mid_motion", "mid_block.motion_modules.0"))
+    for bi in range(n):
+        for li in range(L + 1):
+            rules.update(
+                _resnet_rules(f"up_{bi}_{li}_resnet", f"up_blocks.{bi}.resnets.{li}")
+            )
+            if config.up_block_has_attn[bi]:
+                rules.update(
+                    _spatial_transformer_rules(
+                        f"up_{bi}_{li}_attn", f"up_blocks.{bi}.attentions.{li}",
+                        config.transformer_depth,
+                    )
+                )
+            rules.update(
+                _motion_rules(f"up_{bi}_{li}_motion", f"up_blocks.{bi}.motion_modules.{li}")
+            )
+        if bi < n - 1:
+            rules.update(
+                {
+                    f"up_{bi}_upsample/conv/kernel": (
+                        f"up_blocks.{bi}.upsamplers.0.conv.weight", t_conv,
+                    ),
+                    f"up_{bi}_upsample/conv/bias": (
+                        f"up_blocks.{bi}.upsamplers.0.conv.bias", t_id,
+                    ),
+                }
+            )
+    return rules
+
+
+# ----------------------------------------------------------------------
+# generic application
+# ----------------------------------------------------------------------
+
+
+def flatten_params(params) -> Dict[str, np.ndarray]:
+    """Flax param tree -> {slash/path: leaf} (excluding the 'params' root)."""
+    import jax
+
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = [getattr(k, "key", getattr(k, "idx", str(k))) for k in path]
+        if keys and keys[0] == "params":
+            keys = keys[1:]
+        flat["/".join(str(k) for k in keys)] = leaf
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> dict:
+    tree: dict = {}
+    for path, leaf in flat.items():
+        node = tree
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+    return {"params": tree}
+
+
+def convert_checkpoint(
+    state_dict: Dict[str, np.ndarray],
+    template_params,
+    rules: Dict[str, Tuple[str, Callable]],
+    strict: bool = True,
+):
+    """Apply mapping rules to fill our param tree from a torch state dict.
+
+    template_params: our init'd (or eval_shape'd) tree — defines the targets.
+    Returns (params, report) where report lists missing/unused keys.
+    """
+    flat_template = flatten_params(template_params)
+    out: Dict[str, np.ndarray] = {}
+    missing, shape_errors = [], []
+    used = set()
+
+    for path, leaf in flat_template.items():
+        if path not in rules:
+            missing.append(f"no rule for {path}")
+            out[path] = leaf
+            continue
+        hf_key, transform = rules[path]
+        if hf_key not in state_dict:
+            missing.append(f"checkpoint missing {hf_key} (for {path})")
+            out[path] = leaf
+            continue
+        w = transform(state_dict[hf_key])
+        used.add(hf_key)
+        if tuple(w.shape) != tuple(leaf.shape):
+            shape_errors.append(f"{path}: got {w.shape}, want {tuple(leaf.shape)}")
+            out[path] = leaf
+            continue
+        out[path] = w.astype(np.asarray(leaf).dtype if hasattr(leaf, "dtype") else np.float32)
+
+    report = {
+        "missing": missing,
+        "shape_errors": shape_errors,
+        "unused_checkpoint_keys": sorted(set(state_dict) - used),
+    }
+    if strict and (missing or shape_errors):
+        raise ValueError(
+            "checkpoint conversion failed:\n"
+            + "\n".join(missing[:20] + shape_errors[:20])
+            + (f"\n... and {len(missing) + len(shape_errors) - 40} more"
+               if len(missing) + len(shape_errors) > 40 else "")
+        )
+    return unflatten_params(out), report
+
+
+def load_safetensors(path) -> Dict[str, np.ndarray]:
+    """Load a .safetensors file to numpy (host-side, no torch needed)."""
+    from safetensors.numpy import load_file
+
+    return load_file(str(path))
