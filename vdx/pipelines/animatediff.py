@@ -83,16 +83,54 @@ class AnimateDiffPipeline:
         pipe.params = pipe.init_params(seed)
         return pipe
 
-    def init_params(self, seed: int = 0) -> dict:
+    def init_params(self, seed: int = 0, fast: bool = True) -> dict:
+        """Seeded random params.
+
+        fast=True builds leaves host-side from ``jax.eval_shape`` trees and
+        transfers them — avoiding compilation of the 1.3B-param init graph,
+        which is minutes-slow on remote-compile TPU backends. fast=False
+        uses the exact flax initializers (CPU tests, tiny configs).
+        """
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         F, H, W = 2, 64, 64
         sample = jnp.zeros((1, F, H // 8, W // 8, self.unet.config.in_channels))
         t = jnp.zeros((1,), jnp.int32)
         ctx = jnp.zeros((1, 77, self.unet.config.cross_attention_dim))
-        unet_params = self.unet.init(k1, sample, t, ctx)
-        vae_params = self.vae.init(k2, jnp.zeros((1, 64, 64, 3)))
-        text_params = self.text_encoder.init(k3, jnp.zeros((1, 77), jnp.int32))
-        return {"unet": unet_params, "vae": vae_params, "text": text_params}
+        img = jnp.zeros((1, 64, 64, 3))
+        ids = jnp.zeros((1, 77), jnp.int32)
+        if not fast:
+            return {
+                "unet": self.unet.init(k1, sample, t, ctx),
+                "vae": self.vae.init(k2, img),
+                "text": self.text_encoder.init(k3, ids),
+            }
+
+        import numpy as np
+
+        shapes = {
+            "unet": jax.eval_shape(self.unet.init, k1, sample, t, ctx),
+            "vae": jax.eval_shape(self.vae.init, k2, img),
+            "text": jax.eval_shape(self.text_encoder.init, k3, ids),
+        }
+        rng = np.random.default_rng(seed)
+
+        def build(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)
+            out = []
+            for path, leaf in flat[0]:
+                name = str(getattr(path[-1], "key", path[-1])).lower()
+                if len(leaf.shape) >= 2:
+                    # fan-in-scaled normal keeps activations O(1) end to end
+                    fan_in = int(np.prod(leaf.shape[:-1]))
+                    a = rng.standard_normal(leaf.shape) * (1.0 / max(fan_in, 1)) ** 0.5
+                elif "scale" in name:
+                    a = np.ones(leaf.shape)
+                else:  # bias-like
+                    a = np.zeros(leaf.shape)
+                out.append(jnp.asarray(a.astype(np.float32), dtype=leaf.dtype))
+            return jax.tree.unflatten(flat[1], out)
+
+        return {k: build(v) for k, v in shapes.items()}
 
     # ------------------------------------------------------------------
     # Compiled stages
