@@ -27,7 +27,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from vdx.core.dtypes import Policy
-    from vdx.pipelines.animatediff import AnimateDiffPipeline
+    from vdx.pipelines import AnimateDiffPipeline
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()

@@ -42,7 +42,7 @@ def load_pipeline(tiny: bool = False):
     import jax.numpy as jnp
 
     from vdx.core.dtypes import Policy
-    from vdx.pipelines.animatediff import AnimateDiffPipeline
+    from vdx.pipelines import AnimateDiffPipeline
 
     if tiny:
         from vdx.core.dtypes import FP32_POLICY

@@ -15,7 +15,7 @@ def load_pipeline(tiny: bool = False, scheduler: str = "ddim"):
     import jax.numpy as jnp
 
     from vdx.core.dtypes import FP32_POLICY, Policy
-    from vdx.pipelines.animatediff import AnimateDiffPipeline
+    from vdx.pipelines import AnimateDiffPipeline
 
     if tiny:
         from vdx.models.clip_text import CLIPTextConfig

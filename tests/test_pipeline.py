@@ -7,7 +7,7 @@ from vdx.core.dtypes import FP32_POLICY
 from vdx.models.clip_text import CLIPTextConfig
 from vdx.models.unet_motion import UNetMotionConfig
 from vdx.models.vae import VAEConfig
-from vdx.pipelines.animatediff import AnimateDiffPipeline
+from vdx.pipelines import AnimateDiffPipeline
 
 
 @pytest.fixture(scope="module")

@@ -114,6 +114,7 @@ class DiTBlock(nn.Module):
 class LatteDiT(nn.Module):
     config: LatteConfig = LatteConfig()
     policy: Policy = DEFAULT_POLICY
+    attn_impl: str = "auto"  # threaded through ops.attention's dispatch
 
     @nn.compact
     def __call__(

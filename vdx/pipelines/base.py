@@ -1,8 +1,10 @@
-"""AnimateDiff text-to-video pipeline — jit-compiled end to end.
+"""Video diffusion pipeline base — jit-compiled end to end.
 
-The TPU-native rebuild of the pipeline object the reference drives
-(call sites: reference experiments/01_baseline_generation.py:100-105,
-05_grid_search_ablation.py:158-167). Same call surface:
+The TPU-native rebuild of the pipeline object family the reference drives
+through diffusers (call sites: reference experiments/01_baseline_generation.py:100-105,
+05_grid_search_ablation.py:158-167). One base class hosts the compiled
+machinery; concrete pipelines (AnimateDiff / ModelScope UNet3D / Latte DiT,
+see the sibling modules) plug in their denoiser + text tower. Call surface:
 
     pipe(prompt, negative_prompt=..., num_frames=16, guidance_scale=7.5,
          num_inference_steps=25, height=512, width=512, seed=42)
@@ -48,10 +50,15 @@ class PipelineOutput:
     latents: Optional[jnp.ndarray] = None
 
 
-class AnimateDiffPipeline:
+class VideoDiffusionPipeline:
+    """Base: compiled denoise/decode machinery around a pluggable denoiser."""
+
+    denoiser_cls = UNetMotion
+    denoiser_config_cls = UNetMotionConfig
+
     def __init__(
         self,
-        unet_config: UNetMotionConfig = UNetMotionConfig(),
+        unet_config=None,
         vae_config: VAEConfig = VAEConfig(),
         text_config: CLIPTextConfig = CLIPTextConfig(),
         params: Optional[dict] = None,
@@ -60,7 +67,8 @@ class AnimateDiffPipeline:
         scheduler: str = "euler",
         attn_impl: str = "auto",
     ):
-        self.unet = UNetMotion(unet_config, policy=policy, attn_impl=attn_impl)
+        unet_config = unet_config or self.denoiser_config_cls()
+        self.unet = self.denoiser_cls(unet_config, policy=policy, attn_impl=attn_impl)
         self.vae = AutoencoderKL(vae_config, policy=policy)
         self.text_encoder = CLIPTextModel(text_config, policy=policy)
         self.tokenizer = tokenizer or load_tokenizer()
@@ -73,7 +81,7 @@ class AnimateDiffPipeline:
     # Parameter initialisation / loading
     # ------------------------------------------------------------------
     @classmethod
-    def with_random_params(cls, seed: int = 0, **kwargs) -> "AnimateDiffPipeline":
+    def with_random_params(cls, seed: int = 0, **kwargs) -> "VideoDiffusionPipeline":
         """Seeded random weights — for benchmarking and offline testing.
 
         (The zero-egress build environment has no model hub; real SD-1.5 /
@@ -255,3 +263,10 @@ class AnimateDiffPipeline:
 
         pil = [Image.fromarray(f) for f in frames_np]
         return PipelineOutput(frames=[pil], latents=latents)
+
+
+class AnimateDiffPipeline(VideoDiffusionPipeline):
+    """SD-1.5 + motion modules (the reference's flagship pipeline)."""
+
+    denoiser_cls = UNetMotion
+    denoiser_config_cls = UNetMotionConfig
