@@ -1,0 +1,241 @@
+"""UNetSpatioTemporal — Stable Video Diffusion's img2vid denoiser.
+
+Covers the "Stable Video Diffusion img2vid" target config
+(BASELINE.json configs[2]). Distinctives vs UNetMotion:
+
+  * every resnet is a PAIR: spatial ResBlock then temporal ResBlock
+    (3x1x1 conv over frames), blended by a learned sigmoid mix factor
+    ("AlphaBlender")
+  * every transformer is a PAIR: spatial blocks then temporal blocks over
+    the frame axis, alpha-blended likewise
+  * cross-attention context is the CLIP image embedding [B, 1, 1024]
+  * conditioning adds micro-conditions (fps, motion_bucket_id,
+    noise_aug_strength) as sinusoidally-embedded "added time ids" summed
+    into the time embedding
+  * input latents are channel-concat(noisy latents, conditioning frame
+    latents) -> in_channels 8
+
+Channels-last video layout [B, F, H, W, C]; frame axis remains the only
+cross-device axis under frame sharding (temporal resblocks + temporal
+attention are the communicating ops).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vdx.core.dtypes import DEFAULT_POLICY, Policy
+from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
+from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
+from vdx.nn.temporal import TemporalBlock
+from vdx.nn.transformer import BasicTransformerBlock, SpatialTransformer
+
+
+@dataclasses.dataclass(frozen=True)
+class SVDUNetConfig:
+    in_channels: int = 8  # 4 noisy + 4 conditioning latents
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    attention_head_dim: int = 64
+    addition_time_embed_dim: int = 256
+    num_added_time_ids: int = 3  # fps, motion_bucket_id, noise_aug
+    down_block_has_attn: Tuple[bool, ...] = (True, True, True, False)
+
+    @classmethod
+    def svd(cls) -> "SVDUNetConfig":
+        return cls()
+
+    @classmethod
+    def tiny(cls) -> "SVDUNetConfig":
+        return cls(
+            block_out_channels=(32, 64, 64, 64), layers_per_block=1,
+            cross_attention_dim=64, attention_head_dim=16,
+            addition_time_embed_dim=32,
+        )
+
+    @property
+    def up_block_has_attn(self) -> Tuple[bool, ...]:
+        return tuple(reversed(self.down_block_has_attn))
+
+
+class AlphaBlender(nn.Module):
+    """Learned sigmoid blend of the spatial and temporal branches."""
+
+    @nn.compact
+    def __call__(self, spatial, temporal):
+        mix = self.param("mix_factor", nn.initializers.constant(0.5), (1,), jnp.float32)
+        alpha = nn.sigmoid(mix)[0]
+        return (
+            alpha * spatial.astype(jnp.float32)
+            + (1.0 - alpha) * temporal.astype(jnp.float32)
+        ).astype(spatial.dtype)
+
+
+class SpatioTemporalResBlock(nn.Module):
+    out_channels: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x, temb, num_frames: int):
+        # spatial branch on [B*F, H, W, C]
+        s = ResnetBlock2D(self.out_channels, policy=self.policy, name="spatial")(x, temb)
+        # temporal branch: 3x1x1 resblock over frames
+        BF, H, W, C = s.shape
+        B = BF // num_frames
+        h = s.reshape(B, num_frames, H, W, C)
+        t = GroupNormModule(
+            32 if self.out_channels % 32 == 0 else min(self.out_channels, 8),
+            1e-5, self.policy, with_silu=True, name="tnorm1",
+        )(h)
+        t = nn.Conv(
+            self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="tconv1",
+        )(t)
+        t = GroupNormModule(
+            32 if self.out_channels % 32 == 0 else min(self.out_channels, 8),
+            1e-5, self.policy, with_silu=True, name="tnorm2",
+        )(t)
+        t = nn.Conv(
+            self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            kernel_init=nn.initializers.zeros, name="tconv2",
+        )(t)
+        t = (h + t).reshape(BF, H, W, C)
+        return AlphaBlender(name="mix")(s, t)
+
+
+class TransformerSpatioTemporal(nn.Module):
+    heads: int
+    head_dim: int
+    context_dim: int
+    policy: Policy = DEFAULT_POLICY
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, context, num_frames: int):
+        BF, H, W, C = x.shape
+        B = BF // num_frames
+        residual = x
+        h = GroupNormModule(32 if C % 32 == 0 else min(C, 8), 1e-6, self.policy,
+                            name="norm")(x)
+        h = nn.Dense(C, dtype=self.policy.compute_dtype,
+                     param_dtype=self.policy.param_dtype, name="proj_in")(h)
+
+        # spatial block over [B*F, H*W, C] with image-embedding cross-attn
+        hs = h.reshape(BF, H * W, C)
+        hs = BasicTransformerBlock(
+            C, self.heads, self.head_dim, context_dim=self.context_dim,
+            policy=self.policy, attn_impl=self.attn_impl, name="spatial_block",
+        )(hs, context)
+
+        # temporal block over [B*H*W, F, C]
+        ht = hs.reshape(B, num_frames, H * W, C).transpose(0, 2, 1, 3)
+        ht = ht.reshape(B * H * W, num_frames, C)
+        ht = TemporalBlock(C, self.heads, self.head_dim, policy=self.policy,
+                           name="temporal_block")(ht)
+        ht = ht.reshape(B, H * W, num_frames, C).transpose(0, 2, 1, 3)
+        ht = ht.reshape(BF, H * W, C)
+
+        h = AlphaBlender(name="mix")(hs, ht).reshape(BF, H, W, C)
+        h = nn.Dense(C, dtype=self.policy.compute_dtype,
+                     param_dtype=self.policy.param_dtype, name="proj_out")(h)
+        return h + residual
+
+
+class UNetSpatioTemporal(nn.Module):
+    config: SVDUNetConfig = SVDUNetConfig()
+    policy: Policy = DEFAULT_POLICY
+    attn_impl: str = "auto"
+
+    def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
+        cfg = self.config
+        x = SpatioTemporalResBlock(channels, policy=self.policy, name=f"{name}_res")(
+            x, temb, num_frames
+        )
+        if has_attn:
+            heads = max(1, channels // cfg.attention_head_dim)
+            x = TransformerSpatioTemporal(
+                heads=heads, head_dim=channels // heads,
+                context_dim=cfg.cross_attention_dim, policy=self.policy,
+                attn_impl=self.attn_impl, name=f"{name}_attn",
+            )(x, context, num_frames)
+        return x
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, F, H, W, 8]
+        timestep: jnp.ndarray,  # scalar or [B] (continuous EDM t)
+        image_embeds: jnp.ndarray,  # [B, 1, cross_dim]
+        added_time_ids: jnp.ndarray,  # [B, 3]
+        *,
+        num_frames=None,
+    ) -> jnp.ndarray:
+        cfg = self.config
+        B, F, H, W, Cin = sample.shape
+        num_frames = num_frames or F
+
+        x = sample.reshape(B * F, H, W, Cin).astype(self.policy.compute_dtype)
+        context = jnp.repeat(image_embeds, F, axis=0).astype(self.policy.compute_dtype)
+
+        t = jnp.broadcast_to(jnp.atleast_1d(timestep), (B,))
+        t_emb = get_timestep_embedding(t, cfg.block_out_channels[0])
+        temb = TimestepEmbedding(
+            cfg.block_out_channels[0] * 4, policy=self.policy, name="time_embedding"
+        )(t_emb)
+        # micro-conditioning: sinusoid each added id, flatten, project, add
+        aids = added_time_ids.reshape(-1)  # [B*3]
+        a_emb = get_timestep_embedding(aids, cfg.addition_time_embed_dim)
+        a_emb = a_emb.reshape(B, cfg.num_added_time_ids * cfg.addition_time_embed_dim)
+        temb = temb + TimestepEmbedding(
+            cfg.block_out_channels[0] * 4, policy=self.policy, name="add_embedding"
+        )(a_emb)
+        temb = jnp.repeat(temb, F, axis=0)
+
+        x = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="conv_in",
+        )(x)
+
+        residuals = [x]
+        n = len(cfg.block_out_channels)
+        for bi, ch in enumerate(cfg.block_out_channels):
+            for li in range(cfg.layers_per_block):
+                x = self._layer(x, temb, context, num_frames, ch,
+                                cfg.down_block_has_attn[bi], f"down_{bi}_{li}")
+                residuals.append(x)
+            if bi < n - 1:
+                x = Downsample2D(ch, policy=self.policy, name=f"down_{bi}_downsample")(x)
+                residuals.append(x)
+
+        mid_ch = cfg.block_out_channels[-1]
+        x = self._layer(x, temb, context, num_frames, mid_ch, True, "mid_0")
+        x = SpatioTemporalResBlock(mid_ch, policy=self.policy, name="mid_res_1")(
+            x, temb, num_frames
+        )
+
+        for bi, ch in enumerate(reversed(cfg.block_out_channels)):
+            for li in range(cfg.layers_per_block + 1):
+                skip = residuals.pop()
+                x = jnp.concatenate([x, skip], axis=-1)
+                x = self._layer(x, temb, context, num_frames, ch,
+                                cfg.up_block_has_attn[bi], f"up_{bi}_{li}")
+            if bi < n - 1:
+                x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)
+
+        x = GroupNormModule(32, 1e-5, self.policy, with_silu=True, name="conv_norm_out")(x)
+        x = nn.Conv(
+            cfg.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="conv_out",
+        )(x)
+        x = self.policy.cast_to_output(x)
+        return x.reshape(B, F, H, W, cfg.out_channels)

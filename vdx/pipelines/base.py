@@ -143,14 +143,23 @@ class VideoDiffusionPipeline:
     # ------------------------------------------------------------------
     # Compiled stages
     # ------------------------------------------------------------------
-    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool):
-        """Build the jitted scan over denoise steps (cached per signature)."""
+    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool, latent_shape):
+        """Build the jitted noise+scan program (cached per signature).
+
+        Latent noise is generated INSIDE the jit from the key — on
+        remote-dispatch TPU backends every host-side op is a round trip, so
+        the whole sample path must be one program.
+        """
         sampler = get_sampler(scheduler)
         tables = sampler.make_tables(num_steps)
         unet = self.unet
         is_dpm = scheduler.startswith("dpm")
 
-        def denoise(unet_params, latents, context, guidance_scale):
+        def denoise(unet_params, key, context, guidance_scale):
+            latents = (
+                jax.random.normal(key, latent_shape, dtype=jnp.float32)
+                * tables.init_noise_sigma
+            )
             # latents: [B, F, h, w, 4]; context: [2B or B, 77, D]
             def body(carry, i):
                 if is_dpm:
@@ -195,7 +204,9 @@ class VideoDiffusionPipeline:
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
         """-> [2, 77, D] context, ordered (uncond, cond) like the CFG split."""
         ids = self.tokenizer([negative_prompt or "", prompt])
-        return self.text_encoder.apply(self.params["text"], jnp.asarray(ids))
+        if "text_encode" not in self._compiled:
+            self._compiled["text_encode"] = jax.jit(self.text_encoder.apply)
+        return self._compiled["text_encode"](self.params["text"], jnp.asarray(ids))
 
     # ------------------------------------------------------------------
     # Public API (reference-compatible kwargs)
@@ -227,24 +238,16 @@ class VideoDiffusionPipeline:
         if not guidance:
             context = context[1:]
 
-        tables = sampler.make_tables(num_inference_steps)
-        latents = (
-            jax.random.normal(
-                as_key(seed), (1, num_frames, h, w, self.unet.config.in_channels),
-                dtype=jnp.float32,
+        latent_shape = (1, num_frames, h, w, self.unet.config.in_channels)
+        cache_key = ("denoise", num_inference_steps, scheduler, guidance,
+                     latent_shape, context.shape)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key], _ = self._denoise_fn(
+                num_inference_steps, scheduler, guidance, latent_shape
             )
-            * tables.init_noise_sigma
-        )
-
-        key = ("denoise", num_inference_steps, scheduler, guidance,
-               latents.shape, context.shape)
-        if key not in self._compiled:
-            self._compiled[key], _ = self._denoise_fn(
-                num_inference_steps, scheduler, guidance
-            )
-        denoise = self._compiled[key]
+        denoise = self._compiled[cache_key]
         latents = denoise(
-            self.params["unet"], latents, context, jnp.float32(guidance_scale)
+            self.params["unet"], as_key(seed), context, jnp.float32(guidance_scale)
         )
 
         if output_type == "latent":

@@ -8,7 +8,7 @@ plus ``tables.timesteps`` (the model-facing t per step) and
 ``tables.init_noise_sigma`` (initial latent scale).
 """
 
-from vdx.schedulers import ddim, dpm, euler
+from vdx.schedulers import ddim, dpm, edm, euler
 from vdx.schedulers.common import ScheduleConfig
 
 _SAMPLERS = {
@@ -16,6 +16,7 @@ _SAMPLERS = {
     "euler": euler,
     "dpm": dpm,
     "dpmsolver++": dpm,
+    "edm": edm,
 }
 
 
@@ -28,4 +29,4 @@ def get_sampler(name: str):
         ) from None
 
 
-__all__ = ["ddim", "euler", "dpm", "get_sampler", "ScheduleConfig"]
+__all__ = ["ddim", "euler", "dpm", "edm", "get_sampler", "ScheduleConfig"]
