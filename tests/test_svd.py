@@ -1,0 +1,79 @@
+"""SVD img2vid stack tests (tiny configs, CPU)."""
+
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.clip_vision import CLIPVisionConfig
+from vdx.models.svd_unet import SVDUNetConfig
+from vdx.models.vae import VAEConfig
+from vdx.pipelines.svd import SVDImg2VidPipeline
+from vdx.schedulers import edm
+
+
+class TestEDM:
+    def test_karras_grid(self):
+        t = edm.make_tables(10)
+        sig = np.asarray(t.sigmas)
+        assert sig[0] == pytest.approx(700.0, rel=1e-4)
+        assert sig[-2] == pytest.approx(0.002, rel=1e-3)
+        assert sig[-1] == 0.0
+        assert np.all(np.diff(sig[:-1]) < 0)
+        np.testing.assert_allclose(
+            np.asarray(t.timesteps), 0.25 * np.log(sig[:-1]), rtol=1e-5
+        )
+
+    def test_last_step_returns_denoised(self):
+        import jax
+        import jax.numpy as jnp
+
+        t = edm.make_tables(5)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (1, 2, 4, 4, 4))
+        F_out = jax.random.normal(jax.random.fold_in(key, 1), x.shape)
+        i = 4
+        out = edm.step(x, F_out, jnp.asarray(i), t)
+        sigma = t.sigmas[i]
+        expected = x / (sigma**2 + 1) + (-sigma / jnp.sqrt(sigma**2 + 1)) * F_out
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def tiny_svd():
+    return SVDImg2VidPipeline.with_random_params(
+        seed=0,
+        unet_config=SVDUNetConfig.tiny(),
+        vae_config=VAEConfig.tiny(),
+        vision_config=CLIPVisionConfig.tiny(),
+        policy=FP32_POLICY,
+    )
+
+
+class TestSVDPipeline:
+    def test_generates(self, tiny_svd):
+        rng = np.random.default_rng(0)
+        image = rng.random((64, 64, 3)).astype(np.float32)
+        out = tiny_svd(image, num_frames=4, height=64, width=64,
+                       num_inference_steps=2, seed=3, decode_chunk=2)
+        frames = out.frames[0]
+        assert frames.shape == (4, 64, 64, 3)
+        assert frames.dtype == np.uint8
+
+    def test_image_conditions_output(self, tiny_svd):
+        rng = np.random.default_rng(0)
+        im1 = rng.random((64, 64, 3)).astype(np.float32)
+        im2 = rng.random((64, 64, 3)).astype(np.float32)
+        kw = dict(num_frames=2, height=64, width=64, num_inference_steps=2,
+                  seed=3, decode_chunk=2)
+        f1 = tiny_svd(im1, **kw).frames[0]
+        f2 = tiny_svd(im2, **kw).frames[0]
+        assert not np.array_equal(f1, f2)
+
+    def test_deterministic(self, tiny_svd):
+        rng = np.random.default_rng(1)
+        image = rng.random((64, 64, 3)).astype(np.float32)
+        kw = dict(num_frames=2, height=64, width=64, num_inference_steps=2,
+                  seed=5, decode_chunk=2)
+        f1 = tiny_svd(image, **kw).frames[0]
+        f2 = tiny_svd(image, **kw).frames[0]
+        np.testing.assert_array_equal(f1, f2)

@@ -198,6 +198,37 @@ class AutoencoderKL(nn.Module):
         return self.decode(self.encode(x))
 
 
+class TemporalDecoder(nn.Module):
+    """SVD-style video decoder: spatial decode + temporal output conv.
+
+    Stable Video Diffusion decodes with temporal mixing so frame-wise VAE
+    noise doesn't flicker (BASELINE.json configs[2] "temporal VAE decode").
+    This implements the output-stage temporal conv (3x1x1 over frames) on
+    top of the spatial decoder; interior temporal resblocks can be layered
+    in without changing the interface.
+    """
+
+    config: VAEConfig = VAEConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        """[B*F, h, w, 4] pre-scaled latents -> [B*F, H, W, 3] in [-1, 1]."""
+        x = Decoder(self.config, self.policy, name="decoder")(
+            z / self.config.scaling_factor
+        )
+        BF, H, W, C = x.shape
+        B = BF // num_frames
+        h = x.reshape(B, num_frames, H, W, C)
+        h = nn.Conv(
+            C, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            kernel_init=nn.initializers.zeros, name="time_conv_out",
+        )(h.astype(self.policy.compute_dtype))
+        x = x + self.policy.cast_to_output(h.reshape(BF, H, W, C))
+        return x
+
+
 def decode_frames_tiled(vae: AutoencoderKL, params, latents: jnp.ndarray, chunk: int = 4):
     """Decode [F, h, w, 4] latents in frame chunks of ``chunk`` via lax.map.
 
