@@ -1,0 +1,117 @@
+"""CogVideoX family tests (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.cogvideox import (
+    CausalConv3d,
+    CausalVAEConfig,
+    CausalVAEDecoder,
+    CausalVAEEncoder,
+    CogVideoXConfig,
+    CogVideoXDiT,
+)
+from vdx.models.t5 import T5Config, T5Encoder
+from vdx.pipelines.cogvideox import CogVideoXPipeline
+
+
+class TestT5:
+    def test_forward(self):
+        cfg = T5Config.tiny()
+        model = T5Encoder(cfg, policy=FP32_POLICY)
+        ids = jnp.ones((2, 10), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        out = model.apply(params, ids)
+        assert out.shape == (2, 10, cfg.d_model)
+
+    def test_bidirectional(self):
+        """T5 encoder is bidirectional: later tokens DO affect earlier ones."""
+        cfg = T5Config.tiny()
+        model = T5Encoder(cfg, policy=FP32_POLICY)
+        ids = jnp.ones((1, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)
+        o1 = model.apply(params, ids)
+        o2 = model.apply(params, ids.at[0, 6].set(3))
+        assert not np.allclose(np.asarray(o1[0, :6]), np.asarray(o2[0, :6]))
+
+
+class TestCausalVAE:
+    def test_compression_ratios(self):
+        cfg = CausalVAEConfig.tiny()
+        enc = CausalVAEEncoder(cfg, policy=FP32_POLICY)
+        F, H, W = 9, 32, 32
+        x = jnp.zeros((1, F, H, W, 3))
+        params = enc.init(jax.random.PRNGKey(0), x)
+        z = enc.apply(params, x)
+        # temporal 4x (ceil-ish with causal convs), spatial 8x
+        assert z.shape[2] == H // 8 and z.shape[3] == W // 8
+        assert z.shape[-1] == 2 * cfg.latent_channels
+        assert z.shape[1] == 3  # 9 frames -> ceil(9/4)
+
+    def test_decoder_upsamples(self):
+        cfg = CausalVAEConfig.tiny()
+        dec = CausalVAEDecoder(cfg, policy=FP32_POLICY)
+        z = jnp.zeros((1, 3, 4, 4, cfg.latent_channels))
+        params = dec.init(jax.random.PRNGKey(0), z)
+        x = dec.apply(params, z)
+        assert x.shape == (1, 12, 32, 32, 3)
+
+    def test_causality(self):
+        """Causal conv: output at frame t must not depend on frames > t."""
+        conv = CausalConv3d(4, policy=FP32_POLICY)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 6, 4, 4, 3)),
+                        jnp.float32)
+        params = conv.init(jax.random.PRNGKey(0), x)
+        o1 = conv.apply(params, x)
+        x2 = x.at[:, 4:].add(1.0)  # change frames 4,5
+        o2 = conv.apply(params, x2)
+        np.testing.assert_allclose(np.asarray(o1[:, :4]), np.asarray(o2[:, :4]),
+                                   atol=1e-6)
+
+
+class TestDiT3D:
+    def test_forward_and_joint_attention(self):
+        cfg = CogVideoXConfig.tiny()
+        model = CogVideoXDiT(cfg, policy=FP32_POLICY)
+        sample = jnp.zeros((1, 2, 8, 8, cfg.in_channels))
+        txt = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 4, cfg.text_dim)),
+            jnp.float32,
+        )
+        params = model.init(jax.random.PRNGKey(0), sample, jnp.asarray([10]), txt)
+        # adaLN-Zero zero-inits gates/final proj; fill them so signal flows
+        leaves, treedef = jax.tree.flatten(params)
+        key = jax.random.PRNGKey(99)
+        leaves = [
+            jax.random.normal(jax.random.fold_in(key, i), l.shape) * 0.02
+            if hasattr(l, "shape") and l.size and float(jnp.abs(l).max()) == 0.0
+            else l
+            for i, l in enumerate(leaves)
+        ]
+        params = jax.tree.unflatten(treedef, leaves)
+        x = jnp.asarray(np.random.default_rng(1).standard_normal(sample.shape),
+                        jnp.float32)
+        o1 = model.apply(params, x, jnp.asarray([10]), txt)
+        assert o1.shape == sample.shape
+        # text changes must propagate into video tokens (joint attention)
+        o2 = model.apply(params, x, jnp.asarray([10]), txt + 1.0)
+        assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-7)
+
+
+class TestCogVideoXPipeline:
+    def test_generates(self):
+        pipe = CogVideoXPipeline.with_random_params(
+            seed=0,
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+        out = pipe("a corgi", num_frames=5, height=32, width=32,
+                   num_inference_steps=2, seed=1)
+        frames = out.frames[0]
+        assert frames.shape == (5, 32, 32, 3)
+        assert frames.dtype == np.uint8

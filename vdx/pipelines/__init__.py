@@ -3,13 +3,17 @@ from vdx.pipelines.base import (
     PipelineOutput,
     VideoDiffusionPipeline,
 )
+from vdx.pipelines.cogvideox import CogVideoXPipeline
 from vdx.pipelines.latte import LattePipeline
+from vdx.pipelines.svd import SVDImg2VidPipeline
 from vdx.pipelines.text_to_video_ms import TextToVideoMSPipeline
 
 __all__ = [
     "AnimateDiffPipeline",
     "PipelineOutput",
     "VideoDiffusionPipeline",
+    "CogVideoXPipeline",
     "LattePipeline",
+    "SVDImg2VidPipeline",
     "TextToVideoMSPipeline",
 ]
