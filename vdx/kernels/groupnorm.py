@@ -1,0 +1,107 @@
+"""Fused GroupNorm(+SiLU) — Pallas TPU kernel.
+
+The UNet ResNet hot pattern (GN(32) -> SiLU -> conv) appears ~50x per
+forward; XLA decomposes GN into several HBM-bound passes. This kernel keeps
+one whole sample resident in VMEM and does stats + normalise + SiLU in a
+single pass.
+
+Group reductions use one-hot matmuls instead of reshapes: with C=320,
+C/G=10 — far below the 128-lane tile — a [S, G, C/G] reshape would be
+catastrophically padded, while  sums[g] = ones_S^T (x @ onehot_{C x G})
+keeps every intermediate lane-aligned and on the MXU.
+
+Grid: one program per (batch) sample; block [S, C] where S = H*W (or
+F*H*W for joint-frame stats). fp32 statistics regardless of input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gn_kernel(x_ref, onehot_ref, scale_ref, bias_ref, o_ref, *, num_groups,
+               group_size, eps, with_silu):
+    x = x_ref[0].astype(jnp.float32)  # [S, C]
+    onehot = onehot_ref[:]  # [C, G] fp32
+    S = x.shape[0]
+    denom = S * group_size
+
+    gsum = jnp.sum(
+        jax.lax.dot_general(x, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        axis=0,
+    )  # [G]
+    gsq = jnp.sum(
+        jax.lax.dot_general(x * x, onehot, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32),
+        axis=0,
+    )
+    mean = gsum / denom
+    var = gsq / denom - mean * mean
+
+    # broadcast group stats back to channels: [C, G] @ [G] -> [C]
+    mean_c = jnp.dot(onehot, mean, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(onehot, jax.lax.rsqrt(var + eps),
+                    preferred_element_type=jnp.float32)
+
+    y = (x - mean_c[None, :]) * inv_c[None, :]
+    y = y * scale_ref[:].astype(jnp.float32)[None, :] + bias_ref[:].astype(jnp.float32)[None, :]
+    if with_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_groups", "eps", "with_silu")
+)
+def fused_group_norm(
+    x: jnp.ndarray,  # [B, S, C] — S collapses all spatial (and frame) axes
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_groups: int,
+    eps: float = 1e-5,
+    with_silu: bool = False,
+) -> jnp.ndarray:
+    B, S, C = x.shape
+    G = num_groups
+    assert C % G == 0
+    onehot = jnp.asarray(
+        np.repeat(np.eye(G, dtype=np.float32), C // G, axis=0)
+    )  # [C, G]
+
+    kernel = functools.partial(
+        _gn_kernel, num_groups=G, group_size=C // G, eps=eps, with_silu=with_silu
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, G), lambda b: (0, 0)),
+            pl.BlockSpec((C,), lambda b: (0,)),
+            pl.BlockSpec((C,), lambda b: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, S, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, S, C), x.dtype),
+    )(x, onehot, scale, bias)
+
+
+def group_norm_silu_pallas(x: jnp.ndarray, num_groups: int, scale, bias,
+                           eps: float = 1e-5, with_silu: bool = True) -> jnp.ndarray:
+    """Channels-last [..., C] wrapper: folds every non-batch axis into S."""
+    shape = x.shape
+    B = shape[0]
+    C = shape[-1]
+    S = int(np.prod(shape[1:-1]))
+    y = fused_group_norm(
+        x.reshape(B, S, C), scale, bias,
+        num_groups=num_groups, eps=eps, with_silu=with_silu,
+    )
+    return y.reshape(shape)
