@@ -60,6 +60,34 @@ class TestRuleCoverage:
         assert not uncovered, f"{len(uncovered)} uncovered: {uncovered[:10]}"
 
 
+class TestVAEAndCLIPCoverage:
+    def test_vae_full_coverage(self):
+        from vdx.core.convert import vae_rules
+        from vdx.models.vae import AutoencoderKL, VAEConfig
+
+        cfg = VAEConfig.sd15()
+        vae = AutoencoderKL(cfg)
+        params = jax.eval_shape(
+            vae.init, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+        )
+        rules = vae_rules(cfg)
+        uncovered = [p for p in flatten_params(params) if p not in rules]
+        assert not uncovered, uncovered[:10]
+
+    def test_clip_text_full_coverage(self):
+        from vdx.core.convert import clip_text_rules
+        from vdx.models.clip_text import CLIPTextConfig, CLIPTextModel
+
+        cfg = CLIPTextConfig.sd15()
+        model = CLIPTextModel(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros((1, 77), jnp.int32)
+        )
+        rules = clip_text_rules(cfg)
+        uncovered = [p for p in flatten_params(params) if p not in rules]
+        assert not uncovered, uncovered[:10]
+
+
 class TestTransforms:
     def test_conv_transform(self):
         w = np.arange(2 * 3 * 4 * 5).reshape(2, 3, 4, 5).astype(np.float32)  # OIHW

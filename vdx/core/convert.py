@@ -214,6 +214,128 @@ def unet_motion_rules(config) -> Dict[str, Tuple[str, Callable]]:
 
 
 # ----------------------------------------------------------------------
+# AutoencoderKL mapping
+# ----------------------------------------------------------------------
+
+
+def _vae_resnet_rules(prefix: str, hf_prefix: str):
+    rules = {}
+    for ours, theirs, tr in [
+        ("norm1/scale", "norm1.weight", t_id),
+        ("norm1/bias", "norm1.bias", t_id),
+        ("conv1/kernel", "conv1.weight", t_conv),
+        ("conv1/bias", "conv1.bias", t_id),
+        ("norm2/scale", "norm2.weight", t_id),
+        ("norm2/bias", "norm2.bias", t_id),
+        ("conv2/kernel", "conv2.weight", t_conv),
+        ("conv2/bias", "conv2.bias", t_id),
+        ("conv_shortcut/kernel", "conv_shortcut.weight", t_conv),
+        ("conv_shortcut/bias", "conv_shortcut.bias", t_id),
+    ]:
+        rules[f"{prefix}/{ours}"] = (f"{hf_prefix}.{theirs}", tr)
+    return rules
+
+
+def _vae_attn_rules(prefix: str, hf_prefix: str):
+    # diffusers VAE attention kernels are 1x1 convs in old ckpts / linears in
+    # new ones; we target the linear (Attention) layout used since 0.18.
+    rules = {
+        f"{prefix}/group_norm/scale": (f"{hf_prefix}.group_norm.weight", t_id),
+        f"{prefix}/group_norm/bias": (f"{hf_prefix}.group_norm.bias", t_id),
+    }
+    for ours, theirs in [("to_q", "to_q"), ("to_k", "to_k"), ("to_v", "to_v"),
+                         ("to_out", "to_out.0")]:
+        rules[f"{prefix}/{ours}/kernel"] = (f"{hf_prefix}.{theirs}.weight", t_dense)
+        rules[f"{prefix}/{ours}/bias"] = (f"{hf_prefix}.{theirs}.bias", t_id)
+    return rules
+
+
+def vae_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our AutoencoderKL param path -> diffusers AutoencoderKL key."""
+    rules: Dict[str, Tuple[str, Callable]] = {}
+    n = len(config.block_out_channels)
+    L = config.layers_per_block
+
+    # ---- encoder ----
+    e = "encoder"
+    rules[f"{e}/conv_in/kernel"] = ("encoder.conv_in.weight", t_conv)
+    rules[f"{e}/conv_in/bias"] = ("encoder.conv_in.bias", t_id)
+    for bi in range(n):
+        for li in range(L):
+            rules.update(_vae_resnet_rules(
+                f"{e}/down_{bi}_{li}", f"encoder.down_blocks.{bi}.resnets.{li}"))
+        if bi < n - 1:
+            rules[f"{e}/down_{bi}_downsample/kernel"] = (
+                f"encoder.down_blocks.{bi}.downsamplers.0.conv.weight", t_conv)
+            rules[f"{e}/down_{bi}_downsample/bias"] = (
+                f"encoder.down_blocks.{bi}.downsamplers.0.conv.bias", t_id)
+    rules.update(_vae_resnet_rules(f"{e}/mid/resnet_0", "encoder.mid_block.resnets.0"))
+    rules.update(_vae_resnet_rules(f"{e}/mid/resnet_1", "encoder.mid_block.resnets.1"))
+    rules.update(_vae_attn_rules(f"{e}/mid/attn", "encoder.mid_block.attentions.0"))
+    rules[f"{e}/conv_norm_out/scale"] = ("encoder.conv_norm_out.weight", t_id)
+    rules[f"{e}/conv_norm_out/bias"] = ("encoder.conv_norm_out.bias", t_id)
+    rules[f"{e}/conv_out/kernel"] = ("encoder.conv_out.weight", t_conv)
+    rules[f"{e}/conv_out/bias"] = ("encoder.conv_out.bias", t_id)
+    rules[f"{e}/quant_conv/kernel"] = ("quant_conv.weight", t_conv)
+    rules[f"{e}/quant_conv/bias"] = ("quant_conv.bias", t_id)
+
+    # ---- decoder ----
+    d = "decoder"
+    rules[f"{d}/post_quant_conv/kernel"] = ("post_quant_conv.weight", t_conv)
+    rules[f"{d}/post_quant_conv/bias"] = ("post_quant_conv.bias", t_id)
+    rules[f"{d}/conv_in/kernel"] = ("decoder.conv_in.weight", t_conv)
+    rules[f"{d}/conv_in/bias"] = ("decoder.conv_in.bias", t_id)
+    rules.update(_vae_resnet_rules(f"{d}/mid/resnet_0", "decoder.mid_block.resnets.0"))
+    rules.update(_vae_resnet_rules(f"{d}/mid/resnet_1", "decoder.mid_block.resnets.1"))
+    rules.update(_vae_attn_rules(f"{d}/mid/attn", "decoder.mid_block.attentions.0"))
+    for bi in range(n):
+        for li in range(L + 1):
+            rules.update(_vae_resnet_rules(
+                f"{d}/up_{bi}_{li}", f"decoder.up_blocks.{bi}.resnets.{li}"))
+        if bi < n - 1:
+            rules[f"{d}/up_{bi}_upsample/conv/kernel"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.weight", t_conv)
+            rules[f"{d}/up_{bi}_upsample/conv/bias"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.bias", t_id)
+    rules[f"{d}/conv_norm_out/scale"] = ("decoder.conv_norm_out.weight", t_id)
+    rules[f"{d}/conv_norm_out/bias"] = ("decoder.conv_norm_out.bias", t_id)
+    rules[f"{d}/conv_out/kernel"] = ("decoder.conv_out.weight", t_conv)
+    rules[f"{d}/conv_out/bias"] = ("decoder.conv_out.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# CLIP text mapping
+# ----------------------------------------------------------------------
+
+
+def clip_text_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our CLIPTextModel param path -> transformers CLIPTextModel key."""
+    P = "text_model"
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "token_embedding/embedding": (f"{P}.embeddings.token_embedding.weight", t_id),
+        "position_embedding": (f"{P}.embeddings.position_embedding.weight", t_id),
+        "final_layer_norm/scale": (f"{P}.final_layer_norm.weight", t_id),
+        "final_layer_norm/bias": (f"{P}.final_layer_norm.bias", t_id),
+    }
+    for i in range(config.num_layers):
+        lp = f"layers_{i}"
+        hp = f"{P}.encoder.layers.{i}"
+        for ln in ("layer_norm1", "layer_norm2"):
+            rules[f"{lp}/{ln}/scale"] = (f"{hp}.{ln}.weight", t_id)
+            rules[f"{lp}/{ln}/bias"] = (f"{hp}.{ln}.bias", t_id)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            rules[f"{lp}/self_attn/{proj}/kernel"] = (
+                f"{hp}.self_attn.{proj}.weight", t_dense)
+            rules[f"{lp}/self_attn/{proj}/bias"] = (
+                f"{hp}.self_attn.{proj}.bias", t_id)
+        for fc in ("fc1", "fc2"):
+            rules[f"{lp}/{fc}/kernel"] = (f"{hp}.mlp.{fc}.weight", t_dense)
+            rules[f"{lp}/{fc}/bias"] = (f"{hp}.mlp.{fc}.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
 # generic application
 # ----------------------------------------------------------------------
 
