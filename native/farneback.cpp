@@ -41,6 +41,7 @@ struct Image {
 void correlate_axis0(const Image& src, const vector<float>& kern, Image& dst) {
   int n = ((int)kern.size() - 1) / 2;
   dst = Image(src.h, src.w, src.c);
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < src.h; y++) {
     for (int k = -n; k <= n; k++) {
       int yy = std::min(std::max(y + k, 0), src.h - 1);
@@ -54,18 +55,71 @@ void correlate_axis0(const Image& src, const vector<float>& kern, Image& dst) {
 }
 
 void correlate_axis1(const Image& src, const vector<float>& kern, Image& dst) {
+  // k-outer / x-inner with interior fast path: contiguous SIMD-friendly adds.
   int n = ((int)kern.size() - 1) / 2;
-  dst = Image(src.h, src.w, src.c);
+  int W = src.w, C = src.c;
+  dst = Image(src.h, W, C);
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < src.h; y++) {
     const float* s = src.row(y);
     float* d = dst.row(y);
-    for (int x = 0; x < src.w; x++) {
-      for (int k = -n; k <= n; k++) {
-        int xx = std::min(std::max(x + k, 0), src.w - 1);
-        float wk = kern[k + n];
-        for (int ch = 0; ch < src.c; ch++)
-          d[x * src.c + ch] += wk * s[xx * src.c + ch];
-      }
+    for (int k = -n; k <= n; k++) {
+      float wk = kern[k + n];
+      // interior: x in [max(0,-k), min(W, W-k))
+      int x0 = std::max(0, -k), x1 = std::min(W, W - k);
+      const float* sp = s + (size_t)(x0 + k) * C;
+      float* dp = d + (size_t)x0 * C;
+      int len = (x1 - x0) * C;
+      for (int i = 0; i < len; i++) dp[i] += wk * sp[i];
+      // borders (replicate)
+      for (int x = 0; x < x0; x++)
+        for (int ch = 0; ch < C; ch++) d[(size_t)x * C + ch] += wk * s[ch];
+      for (int x = x1; x < W; x++)
+        for (int ch = 0; ch < C; ch++)
+          d[(size_t)x * C + ch] += wk * s[(size_t)(W - 1) * C + ch];
+    }
+  }
+}
+
+// Running-sum box filter with replicate border (both axes), O(1)/pixel.
+void box_filter_axis0(const Image& src, int winsize, Image& dst) {
+  int n = (winsize - 1) / 2, H = src.h, len = src.w * src.c;
+  dst = Image(src.h, src.w, src.c);
+  vector<float> acc(len, 0.f);
+  // initial window for row 0: rows [-n, n] clamped
+  for (int k = -n; k <= n; k++) {
+    const float* s = src.row(std::min(std::max(k, 0), H - 1));
+    for (int i = 0; i < len; i++) acc[i] += s[i];
+  }
+  std::memcpy(dst.row(0), acc.data(), sizeof(float) * len);
+  for (int y = 1; y < H; y++) {
+    const float* add = src.row(std::min(y + n, H - 1));
+    const float* sub = src.row(std::max(y - n - 1, 0));
+    for (int i = 0; i < len; i++) acc[i] += add[i] - sub[i];
+    std::memcpy(dst.row(y), acc.data(), sizeof(float) * len);
+  }
+}
+
+void box_filter_axis1(const Image& src, int winsize, Image& dst) {
+  int n = (winsize - 1) / 2, W = src.w, C = src.c;
+  dst = Image(src.h, W, C);
+#pragma omp parallel for schedule(static)
+  for (int y = 0; y < src.h; y++) {
+    vector<float> acc(C);
+    const float* s = src.row(y);
+    float* d = dst.row(y);
+    for (int ch = 0; ch < C; ch++) acc[ch] = 0.f;
+    for (int k = -n; k <= n; k++) {
+      const float* sp = s + (size_t)std::min(std::max(k, 0), W - 1) * C;
+      for (int ch = 0; ch < C; ch++) acc[ch] += sp[ch];
+    }
+    for (int ch = 0; ch < C; ch++) d[ch] = acc[ch];
+    for (int x = 1; x < W; x++) {
+      const float* add = s + (size_t)std::min(x + n, W - 1) * C;
+      const float* sub = s + (size_t)std::max(x - n - 1, 0) * C;
+      for (int ch = 0; ch < C; ch++) acc[ch] += add[ch] - sub[ch];
+      float* dp = d + (size_t)x * C;
+      for (int ch = 0; ch < C; ch++) dp[ch] = acc[ch];
     }
   }
 }
@@ -205,6 +259,7 @@ void update_matrices(const Image& R0, const Image& R1, const Image& flow, Image&
   int H = flow.h, W = flow.w;
   M = Image(H, W, 5);
   int nbx = std::min(5, W / 2), nby = std::min(5, H / 2);
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < H; y++) {
     float wy = 1.f;
     if (y < nby) wy *= kBorderW[y];
@@ -258,13 +313,13 @@ void update_matrices(const Image& R0, const Image& R1, const Image& flow, Image&
 
 // ------------------------------------------------------------- update flow
 void update_flow_box(const Image& M, int winsize, Image& flow) {
-  vector<float> box(winsize, 1.0f);
   Image t0, Mb;
-  correlate_axis0(M, box, t0);
-  correlate_axis1(t0, box, Mb);
+  box_filter_axis0(M, winsize, t0);
+  box_filter_axis1(t0, winsize, Mb);
   double scale = 1.0 / ((double)winsize * winsize);
   int H = M.h, W = M.w;
   flow = Image(H, W, 2);
+#pragma omp parallel for schedule(static)
   for (int y = 0; y < H; y++)
     for (int x = 0; x < W; x++) {
       double g11 = Mb.at(y, x, 0) * scale;
