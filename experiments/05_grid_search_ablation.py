@@ -15,6 +15,7 @@ from datetime import datetime
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main():
@@ -47,7 +48,29 @@ def main():
     pipe = load_pipeline(tiny=args.tiny, scheduler="ddim")
 
     start = datetime.now()
-    configs = run_grid_search(pipe, args.phase, args.video, output_dir)
+    if args.tiny:
+        # shrink the experiment plan to smoke-test scale
+        import dataclasses
+
+        from vdx.harness import grid as grid_mod
+        from vdx.harness.grid import plan_grid_search
+
+        def tiny_plan(phase="all", video_filter=None):
+            return [
+                dataclasses.replace(
+                    c, height=64, width=64, num_frames=4, num_inference_steps=2
+                )
+                for c in plan_grid_search(phase, video_filter)
+            ]
+
+        grid_mod_plan = grid_mod.plan_grid_search
+        grid_mod.plan_grid_search = tiny_plan
+        try:
+            configs = run_grid_search(pipe, args.phase, args.video, output_dir)
+        finally:
+            grid_mod.plan_grid_search = grid_mod_plan
+    else:
+        configs = run_grid_search(pipe, args.phase, args.video, output_dir)
     generate_manifest(output_dir)
     print(f"\nTotal time: {datetime.now() - start}")
     print(f"Experiments: {len(configs)}")

@@ -1,0 +1,85 @@
+"""Experiment CLI smoke tests — run the real scripts end to end (tiny)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # the sitecustomize overrides JAX_PLATFORMS via jax.config; neutralise by
+    # running through a stub that forces cpu before anything imports jax
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        f"import sys; sys.argv = [{script.name!r}] + {list(args)!r};"
+        f"p = {str(script)!r};"
+        "exec(compile(open(p).read(), p, 'exec'),"
+        " {'__file__': p, '__name__': '__main__'})"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+
+
+class TestExperimentCLIs:
+    def test_02_inspection(self):
+        r = run_cli(REPO / "experiments" / "02_architecture_inspection.py", "--tiny")
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "Total parameters" in r.stdout
+
+    def test_03_trace(self, tmp_path):
+        r = run_cli(
+            REPO / "experiments" / "03_trace_forward_pass.py", "--tiny",
+            "--output", str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "ATTENTION MODULE ANALYSIS" in r.stdout
+        assert (tmp_path / "unet_trace.txt").exists()
+
+    def test_07_08_analysis_on_oracle(self, tmp_path, reference_root):
+        src = reference_root / "outputs/06_grid_search_metrics/grid_search_results.json"
+        r = run_cli(
+            REPO / "experiments" / "07_analyze_grid_search.py",
+            "--input", str(src), "--output", str(tmp_path / "a7"),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (tmp_path / "a7" / "optimal_values_summary.csv").exists()
+
+        r = run_cli(
+            REPO / "experiments" / "08_analyze_comprehensive.py",
+            "--input", str(src), "--output", str(tmp_path / "a8"),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (tmp_path / "a8" / "recommendations.csv").exists()
+
+    def test_05_06_grid_and_measure_tiny(self, tmp_path):
+        """Tiny end-to-end: generate 2 experiments, measure them, check JSON."""
+        r = run_cli(
+            REPO / "experiments" / "05_grid_search_ablation.py",
+            "--tiny", "--yes", "--video", "portrait", "--phase", "prompt",
+            "--output", str(tmp_path / "grid"),
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert (tmp_path / "grid" / "manifest.json").exists()
+
+        r = run_cli(
+            REPO / "experiments" / "06_measure_grid_search.py",
+            "--input", str(tmp_path / "grid"),
+            "--output", str(tmp_path / "metrics"),
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        results = json.loads(
+            (tmp_path / "metrics" / "grid_search_results.json").read_text()
+        )
+        assert len(results) == 2
+        assert all("temporal_consistency_score" in rec for rec in results)

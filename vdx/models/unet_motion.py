@@ -70,6 +70,10 @@ class UNetMotion(nn.Module):
     config: UNetMotionConfig = UNetMotionConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    # "local" (all frames on-device) or "ring:<axis>" (frame-sharded inside
+    # shard_map; num_frames then means the LOCAL shard size). Params are
+    # identical either way.
+    temporal_impl: str = "local"
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
         """One (resnet -> spatial -> cross -> motion) unit."""
@@ -89,6 +93,7 @@ class UNetMotion(nn.Module):
             heads=cfg.motion_heads,
             max_seq_length=cfg.motion_max_seq,
             policy=self.policy,
+            temporal_impl=self.temporal_impl,
             name=f"{name}_motion",
         )(x, num_frames)
         return x
@@ -157,6 +162,7 @@ class UNetMotion(nn.Module):
             heads=cfg.motion_heads,
             max_seq_length=cfg.motion_max_seq,
             policy=self.policy,
+            temporal_impl=self.temporal_impl,
             name="mid_motion",
         )(x, num_frames)
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)

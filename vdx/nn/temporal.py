@@ -13,9 +13,13 @@ experiments/03_trace_forward_pass.py:160-169, 266-275):
 GroupNorm statistics span frames AND space jointly (torch GN over
 [B, C, F, H, W]); ops.group_norm reproduces that on the channels-last layout.
 
-TPU note: the frame axis F is the shardable "sequence" axis for long-clip
-sequence parallelism — this module is the only cross-frame op in the UNet, so
-it is the only place ring attention is ever needed (SURVEY.md §5).
+Sequence parallelism (the long-clip north star, SURVEY.md §5): this module
+is the ONLY cross-frame op in the UNet. With ``temporal_impl="ring:frames"``
+it runs correctly inside ``shard_map`` with the frame axis sharded over the
+mesh's ``frames`` axis: attention becomes ring attention over ICI
+(parallel/ring_attention), GroupNorm statistics psum across the frame
+shards, and the sinusoidal frame PE uses global frame indices. Parameters
+are IDENTICAL to local mode — the same weights run sharded or not.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from __future__ import annotations
 import math
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
@@ -30,6 +35,10 @@ from vdx.nn.attention import Attention, FeedForward
 from vdx.nn.embeddings import sinusoidal_positional_encoding
 from vdx.nn.transformer import LayerNormF32
 from vdx.ops.groupnorm import group_norm
+
+
+def _ring_axis(temporal_impl: str):
+    return temporal_impl.split(":", 1)[1] if temporal_impl.startswith("ring:") else None
 
 
 class TemporalBlock(nn.Module):
@@ -40,22 +49,35 @@ class TemporalBlock(nn.Module):
     head_dim: int
     max_seq_length: int = 32
     policy: Policy = DEFAULT_POLICY
+    temporal_impl: str = "local"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         F = x.shape[1]
-        pe = sinusoidal_positional_encoding(F, self.dim).astype(x.dtype)
+        axis = _ring_axis(self.temporal_impl)
+        if axis is None:
+            pe = sinusoidal_positional_encoding(F, self.dim).astype(x.dtype)
+            attn_impl = "auto"
+        else:
+            # F is the LOCAL shard; PE must use global frame positions.
+            n = jax.lax.axis_size(axis)
+            idx = jax.lax.axis_index(axis)
+            pe_global = sinusoidal_positional_encoding(F * n, self.dim).astype(x.dtype)
+            pe = jax.lax.dynamic_slice_in_dim(pe_global, idx * F, F, axis=0)
+            attn_impl = self.temporal_impl
 
         h = LayerNormF32(policy=self.policy, name="norm1")(x)
         h = h + pe[None]
         x = x + Attention(
-            self.dim, self.heads, self.head_dim, policy=self.policy, name="attn1"
+            self.dim, self.heads, self.head_dim, policy=self.policy,
+            attn_impl=attn_impl, name="attn1",
         )(h)
 
         h = LayerNormF32(policy=self.policy, name="norm2")(x)
         h = h + pe[None]
         x = x + Attention(
-            self.dim, self.heads, self.head_dim, policy=self.policy, name="attn2"
+            self.dim, self.heads, self.head_dim, policy=self.policy,
+            attn_impl=attn_impl, name="attn2",
         )(h)
 
         h = LayerNormF32(policy=self.policy, name="norm3")(x)
@@ -64,12 +86,16 @@ class TemporalBlock(nn.Module):
 
 
 class TemporalTransformer3D(nn.Module):
-    """Motion module. Input [B*F, H, W, C] + static num_frames; same output."""
+    """Motion module. Input [B*F, H, W, C] + static num_frames; same output.
+
+    ``num_frames`` is the LOCAL frame count when running frame-sharded.
+    """
 
     heads: int = 8
     depth: int = 1
     max_seq_length: int = 32
     policy: Policy = DEFAULT_POLICY
+    temporal_impl: str = "local"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
@@ -77,13 +103,25 @@ class TemporalTransformer3D(nn.Module):
         F = num_frames
         B = BF // F
         residual = x
+        axis = _ring_axis(self.temporal_impl)
 
-        # GN with stats over (F, H, W) jointly: reshape so frames join the
-        # spatial axes under one batch element.
-        h = x.reshape(B, F, H, W, C)
         scale = self.param("norm_scale", nn.initializers.ones, (C,), self.policy.param_dtype)
         bias = self.param("norm_bias", nn.initializers.zeros, (C,), self.policy.param_dtype)
-        h = group_norm(h, math.gcd(32, C), scale, bias, eps=1e-6)
+        h = x.reshape(B, F, H, W, C)
+        groups = math.gcd(32, C)
+        if axis is None:
+            # GN with stats over (F, H, W) jointly
+            h = group_norm(h, groups, scale, bias, eps=1e-6)
+        else:
+            # sharded stats: local moments + psum over the frame shards
+            xg = h.astype(jnp.float32).reshape(B, F, H, W, groups, C // groups)
+            axes = (1, 2, 3, 5)
+            mean = jax.lax.pmean(xg.mean(axis=axes, keepdims=True), axis)
+            sq = jax.lax.pmean((xg * xg).mean(axis=axes, keepdims=True), axis)
+            var = sq - mean * mean
+            xg = (xg - mean) * jax.lax.rsqrt(var + 1e-6)
+            h = xg.reshape(B, F, H, W, C)
+            h = (h * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
 
         # [B, F, H, W, C] -> [B*H*W, F, C]
         h = h.transpose(0, 2, 3, 1, 4).reshape(B * H * W, F, C)
@@ -101,6 +139,7 @@ class TemporalTransformer3D(nn.Module):
                 head_dim,
                 max_seq_length=self.max_seq_length,
                 policy=self.policy,
+                temporal_impl=self.temporal_impl,
                 name=f"blocks_{i}",
             )(h)
         h = nn.Dense(

@@ -80,4 +80,11 @@ def dot_product_attention(
         return flash_attention(q, k, v, scale=scale)
     if impl == "xla":
         return _xla_attention(q, k, v, scale, mask)
+    if impl.startswith("ring:"):
+        # Sequence-parallel ring attention: the S axis of q/k/v is a LOCAL
+        # shard of a mesh axis; only valid inside shard_map.
+        from vdx.parallel.ring_attention import ring_attention
+
+        assert mask is None, "ring attention does not support masks"
+        return ring_attention(q, k, v, axis_name=impl.split(":", 1)[1], scale=scale)
     raise ValueError(f"unknown attention impl {impl!r}")
