@@ -84,8 +84,8 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     scale: float,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Attention over [B, S, H, D] tensors (no mask; bidirectional)."""
     B, Sq, H, D = q.shape
