@@ -1,0 +1,81 @@
+"""Serving layer tests — real HTTP round trip against the tiny pipeline."""
+
+import base64
+import io
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.clip_text import CLIPTextConfig
+from vdx.models.unet_motion import UNetMotionConfig
+from vdx.models.vae import VAEConfig
+from vdx.pipelines import AnimateDiffPipeline
+from vdx.serving.server import GenerationServer, GenerationService
+
+
+@pytest.fixture(scope="module")
+def server():
+    pipe = AnimateDiffPipeline.with_random_params(
+        seed=0,
+        unet_config=UNetMotionConfig.tiny(),
+        vae_config=VAEConfig.tiny(),
+        text_config=CLIPTextConfig.tiny(),
+        policy=FP32_POLICY,
+        scheduler="ddim",
+    )
+    svc = GenerationService(
+        pipe,
+        defaults={"num_frames": 2, "num_inference_steps": 2,
+                  "height": 64, "width": 64},
+    )
+    srv = GenerationServer(svc, port=0)  # ephemeral port
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(srv, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+class TestServing:
+    def test_healthz(self, server):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{server.port}/healthz", timeout=30
+        ) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok"
+
+    def test_generate(self, server):
+        resp = _post(server, "/generate", {"prompt": "a corgi", "seed": 42})
+        assert resp["num_frames"] == 2
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(base64.b64decode(resp["frames"][0])))
+        assert img.size == (64, 64)
+
+    def test_determinism_over_http(self, server):
+        a = _post(server, "/generate", {"prompt": "portrait", "seed": 7})
+        b = _post(server, "/generate", {"prompt": "portrait", "seed": 7})
+        assert a["frames"] == b["frames"]
+
+    def test_error_surface(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/generate",
+            data=json.dumps({}).encode(),  # missing prompt
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "KeyError" in json.loads(e.read())["error"]
