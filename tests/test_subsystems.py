@@ -25,6 +25,35 @@ class TestCheckpoint:
         )
 
 
+class TestPipelineCheckpoint:
+    def test_save_load_roundtrip_generation(self, tmp_path):
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        kw = dict(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            scheduler="ddim",
+        )
+        pipe = AnimateDiffPipeline.with_random_params(seed=3, **kw)
+        gen = dict(num_frames=2, height=64, width=64, num_inference_steps=2,
+                   seed=9, output_type="np")
+        ref = pipe("portrait", **gen).frames[0]
+
+        pipe.save_checkpoint(tmp_path / "ckpt")
+
+        pipe2 = AnimateDiffPipeline(**kw)
+        pipe2.params = pipe2.init_params(seed=999)  # different weights
+        pipe2.load_checkpoint(tmp_path / "ckpt")
+        got = pipe2("portrait", **gen).frames[0]
+        np.testing.assert_array_equal(ref, got)
+
+
 class TestEventLog:
     def test_json_lines(self, tmp_path):
         from vdx.utils.logging import EventLog

@@ -91,6 +91,18 @@ class VideoDiffusionPipeline:
         pipe.params = pipe.init_params(seed)
         return pipe
 
+    def save_checkpoint(self, path) -> None:
+        """Persist all component params via Orbax (core/checkpoint.py)."""
+        from vdx.core.checkpoint import save_params
+
+        save_params(self.params, path)
+
+    def load_checkpoint(self, path) -> None:
+        from vdx.core.checkpoint import load_params
+
+        template = self.params if self.params is not None else self.init_params()
+        self.params = load_params(path, template=template)
+
     def init_params(self, seed: int = 0, fast: bool = True) -> dict:
         """Seeded random params.
 
