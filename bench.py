@@ -23,6 +23,24 @@ import time
 
 
 def main() -> None:
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — driver needs the JSON line regardless
+        print(
+            json.dumps(
+                {
+                    "metric": "frames/sec/chip end-to-end (16f @512^2, 25 steps, CFG)",
+                    "value": 0.0,
+                    "unit": "frames/s",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        raise
+
+
+def _run() -> None:
     import jax
     import jax.numpy as jnp
 

@@ -133,6 +133,11 @@ def flash_attention(
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
         ],
+        # v5e has 128 MB VMEM/core; the compiler's 16 MB scoped default
+        # blocks the large-block configs that amortise grid overhead.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(qf, kf, vf)
 
     out = out[:, :Sq, :D]
