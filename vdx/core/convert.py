@@ -418,3 +418,30 @@ def load_safetensors(path) -> Dict[str, np.ndarray]:
     from safetensors.numpy import load_file
 
     return load_file(str(path))
+
+
+def merge_unet_and_motion(
+    unet_sd: Dict[str, np.ndarray], motion_sd: Dict[str, np.ndarray]
+) -> Dict[str, np.ndarray]:
+    """Merge SD-1.5 UNet weights with a MotionAdapter checkpoint.
+
+    The hub ships them separately (reference experiments/01:60-73 loads
+    guoyww/animatediff-motion-adapter-v1-5-2 on top of
+    runwayml/stable-diffusion-v1-5); diffusers injects the adapter's
+    ``*.motion_modules.*`` keys into the UNet state dict. Key spaces are
+    disjoint by construction; overlaps raise.
+    """
+    overlap = set(unet_sd) & set(motion_sd)
+    if overlap:
+        raise ValueError(f"overlapping keys: {sorted(overlap)[:5]}")
+    merged = dict(unet_sd)
+    merged.update(motion_sd)
+    return merged
+
+
+def load_animatediff_unet(
+    unet_path, motion_path, config, template_params, strict: bool = True
+):
+    """Convenience: safetensors pair -> UNetMotion params."""
+    sd = merge_unet_and_motion(load_safetensors(unet_path), load_safetensors(motion_path))
+    return convert_checkpoint(sd, template_params, unet_motion_rules(config), strict)

@@ -103,11 +103,20 @@ def measure_video(
     else:
         lpips_vals = np.zeros(F - 1, dtype=np.float64)
 
-    # Flow per pair (host/native backend), then all warps in one jitted call.
+    # Flow per pair (host/native backend; pairs fan out over a thread pool —
+    # the ctypes call releases the GIL), then all warps in one jitted call.
     gray = (frames.mean(axis=-1) * 255).astype(np.uint8)
-    flows = np.stack(
-        [flow_estimator.compute_flow_gray(gray[i], gray[i + 1]) for i in range(F - 1)]
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        flows = np.stack(
+            list(
+                pool.map(
+                    lambda i: flow_estimator.compute_flow_gray(gray[i], gray[i + 1]),
+                    range(F - 1),
+                )
+            )
+        )
     flow_means = flows.reshape(F - 1, -1, 2)
     mags = np.sqrt((flows**2).sum(-1)).reshape(F - 1, -1)
     flow_mag_mean = mags.mean(axis=1).astype(np.float64)
