@@ -88,6 +88,21 @@ class TestVAEAndCLIPCoverage:
         assert not uncovered, uncovered[:10]
 
 
+class TestT5Coverage:
+    def test_t5_full_coverage(self):
+        from vdx.core.convert import t5_encoder_rules
+        from vdx.models.t5 import T5Config, T5Encoder
+
+        cfg = T5Config.tiny()
+        model = T5Encoder(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32)
+        )
+        rules = t5_encoder_rules(cfg)
+        uncovered = [p for p in flatten_params(params) if p not in rules]
+        assert not uncovered, uncovered[:10]
+
+
 class TestTransforms:
     def test_conv_transform(self):
         w = np.arange(2 * 3 * 4 * 5).reshape(2, 3, 4, 5).astype(np.float32)  # OIHW

@@ -336,6 +336,37 @@ def clip_text_rules(config) -> Dict[str, Tuple[str, Callable]]:
 
 
 # ----------------------------------------------------------------------
+# T5 encoder mapping (CogVideoX text tower)
+# ----------------------------------------------------------------------
+
+
+def t5_encoder_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our T5Encoder param path -> transformers T5EncoderModel key."""
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "token_embedding/embedding": ("shared.weight", t_id),
+        "final_norm/scale": ("encoder.final_layer_norm.weight", t_id),
+    }
+    for i in range(config.num_layers):
+        lp = f"layers_{i}"
+        hb = f"encoder.block.{i}"
+        rules[f"{lp}/norm1/scale"] = (f"{hb}.layer.0.layer_norm.weight", t_id)
+        rules[f"{lp}/norm2/scale"] = (f"{hb}.layer.1.layer_norm.weight", t_id)
+        for p in ("q", "k", "v", "o"):
+            rules[f"{lp}/attn/{p}/kernel"] = (
+                f"{hb}.layer.0.SelfAttention.{p}.weight", t_dense,
+            )
+        if i == 0:
+            rules[f"{lp}/attn/relative_attention_bias"] = (
+                f"{hb}.layer.0.SelfAttention.relative_attention_bias.weight", t_id,
+            )
+        for ff in ("wi_0", "wi_1", "wo"):
+            rules[f"{lp}/{ff}/kernel"] = (
+                f"{hb}.layer.1.DenseReluDense.{ff}.weight", t_dense,
+            )
+    return rules
+
+
+# ----------------------------------------------------------------------
 # generic application
 # ----------------------------------------------------------------------
 
