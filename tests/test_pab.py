@@ -1,0 +1,64 @@
+"""Pyramid Attention Broadcast (turbo mode) tests.
+
+Correctness contract: with refresh intervals of 1 (refresh every step) PAB
+must reproduce the non-PAB pipeline bit-for-bit; with broadcasting enabled
+the output is an approximation that stays close to the exact trajectory.
+"""
+
+import numpy as np
+import pytest
+
+from vdx.core.dtypes import FP32_POLICY
+from vdx.models.clip_text import CLIPTextConfig
+from vdx.models.unet_motion import UNetMotionConfig
+from vdx.models.vae import VAEConfig
+from vdx.pipelines import AnimateDiffPipeline
+from vdx.pipelines.base import PABConfig
+
+KW = dict(
+    unet_config=UNetMotionConfig.tiny(),
+    vae_config=VAEConfig.tiny(),
+    text_config=CLIPTextConfig.tiny(),
+    policy=FP32_POLICY,
+    scheduler="ddim",
+)
+GEN = dict(num_frames=2, height=64, width=64, num_inference_steps=6, seed=3,
+           output_type="np")
+
+
+@pytest.fixture(scope="module")
+def exact_pipe():
+    return AnimateDiffPipeline.with_random_params(seed=0, **KW)
+
+
+class TestPAB:
+    def test_refresh_every_step_is_exact(self, exact_pipe):
+        pab = PABConfig(spatial_interval=1, temporal_interval=1,
+                        cross_interval=1, warmup_steps=0, cooldown_steps=0)
+        turbo = AnimateDiffPipeline(pab=pab, **KW)
+        turbo.params = exact_pipe.params
+        a = exact_pipe("a corgi on the beach", **GEN).frames[0]
+        b = turbo("a corgi on the beach", **GEN).frames[0]
+        # program restructuring (step 0 unrolled before the scan, cond
+        # wrappers) shifts fp32 fusion order: at most ±1 uint8 level
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+    def test_broadcast_stays_close(self, exact_pipe):
+        pab = PABConfig(spatial_interval=2, temporal_interval=3,
+                        cross_interval=3, warmup_steps=1, cooldown_steps=1)
+        turbo = AnimateDiffPipeline(pab=pab, **KW)
+        turbo.params = exact_pipe.params
+        a = exact_pipe("a corgi on the beach", **GEN).frames[0].astype(np.float64)
+        b = turbo("a corgi on the beach", **GEN).frames[0].astype(np.float64)
+        # approximation: bounded drift from the exact trajectory
+        mse = ((a - b) / 255.0) ** 2
+        psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
+        assert psnr > 20.0, psnr
+        assert not np.array_equal(a, b)  # it IS skipping work
+
+    def test_dpm_rejected(self, exact_pipe):
+        turbo = AnimateDiffPipeline(pab=PABConfig(), **{**KW, "scheduler": "dpm"})
+        turbo.params = exact_pipe.params
+        with pytest.raises(ValueError, match="PAB"):
+            turbo("x", **GEN)

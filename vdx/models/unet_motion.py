@@ -74,10 +74,16 @@ class UNetMotion(nn.Module):
     # shard_map; num_frames then means the LOCAL shard size). Params are
     # identical either way.
     temporal_impl: str = "local"
+    # Pyramid Attention Broadcast: attention outputs cached in the mutable
+    # 'pab_cache' collection and reused on steps where the per-type refresh
+    # flag is False (pipelines/base.py builds the schedule).
+    pab: bool = False
 
-    def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
+    def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
+               refresh=None):
         """One (resnet -> spatial -> cross -> motion) unit."""
         cfg = self.config
+        r = refresh or {}
         x = ResnetBlock2D(channels, policy=self.policy, name=f"{name}_resnet")(x, temb)
         if has_attn:
             x = SpatialTransformer(
@@ -87,15 +93,18 @@ class UNetMotion(nn.Module):
                 depth=cfg.transformer_depth,
                 policy=self.policy,
                 attn_impl=self.attn_impl,
+                pab=self.pab,
                 name=f"{name}_attn",
-            )(x, context)
+            )(x, context, refresh_self=r.get("spatial"),
+              refresh_cross=r.get("cross"))
         x = TemporalTransformer3D(
             heads=cfg.motion_heads,
             max_seq_length=cfg.motion_max_seq,
             policy=self.policy,
             temporal_impl=self.temporal_impl,
+            pab=self.pab,
             name=f"{name}_motion",
-        )(x, num_frames)
+        )(x, num_frames, refresh=r.get("temporal"))
         return x
 
     @nn.compact
@@ -106,6 +115,7 @@ class UNetMotion(nn.Module):
         context: jnp.ndarray,  # [B, S_text, cross_attention_dim]
         *,
         num_frames: Optional[int] = None,
+        pab_refresh: Optional[dict] = None,  # {'spatial','cross','temporal'}: bool
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, Cin = sample.shape
@@ -139,7 +149,7 @@ class UNetMotion(nn.Module):
             for li in range(cfg.layers_per_block):
                 x = self._layer(
                     x, temb, context, num_frames, channels, has_attn,
-                    name=f"down_{bi}_{li}",
+                    name=f"down_{bi}_{li}", refresh=pab_refresh,
                 )
                 residuals.append(x)
             if bi < n_blocks - 1:
@@ -149,6 +159,7 @@ class UNetMotion(nn.Module):
         # ---------------- mid ----------------
         mid_ch = cfg.block_out_channels[-1]
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_0")(x, temb)
+        _r = pab_refresh or {}
         x = SpatialTransformer(
             heads=cfg.attention_heads,
             head_dim=mid_ch // cfg.attention_heads,
@@ -156,15 +167,17 @@ class UNetMotion(nn.Module):
             depth=cfg.transformer_depth,
             policy=self.policy,
             attn_impl=self.attn_impl,
+            pab=self.pab,
             name="mid_attn",
-        )(x, context)
+        )(x, context, refresh_self=_r.get("spatial"), refresh_cross=_r.get("cross"))
         x = TemporalTransformer3D(
             heads=cfg.motion_heads,
             max_seq_length=cfg.motion_max_seq,
             policy=self.policy,
             temporal_impl=self.temporal_impl,
+            pab=self.pab,
             name="mid_motion",
-        )(x, num_frames)
+        )(x, num_frames, refresh=_r.get("temporal"))
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)
 
         # ---------------- up ----------------
@@ -176,7 +189,7 @@ class UNetMotion(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._layer(
                     x, temb, context, num_frames, channels, has_attn,
-                    name=f"up_{bi}_{li}",
+                    name=f"up_{bi}_{li}", refresh=pab_refresh,
                 )
             if bi < n_blocks - 1:
                 x = Upsample2D(channels, policy=self.policy, name=f"up_{bi}_upsample")(x)

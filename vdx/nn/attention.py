@@ -27,10 +27,20 @@ class Attention(nn.Module):
     out_bias: bool = True
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    # Pyramid-Attention-Broadcast participation (arXiv:2408.12588-style
+    # training-free acceleration): when enabled, the module caches its
+    # output in the mutable 'pab_cache' collection; ``refresh=False`` reuses
+    # the cached output instead of recomputing — attention outputs drift
+    # slowly across adjacent denoise steps, so broadcasting them for a few
+    # steps trades negligible quality for skipped compute.
+    pab: bool = False
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        refresh=None,
     ) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         ctx = x if context is None else context
@@ -41,27 +51,43 @@ class Attention(nn.Module):
             param_dtype=self.policy.param_dtype,
             name=name,
         )
-        q = dense(inner, "to_q")(x)
-        k = dense(inner, "to_k")(ctx)
-        v = dense(inner, "to_v")(ctx)
 
-        B, Sq = q.shape[0], q.shape[1]
-        Skv = k.shape[1]
-        q = q.reshape(B, Sq, self.heads, self.head_dim)
-        k = k.reshape(B, Skv, self.heads, self.head_dim)
-        v = v.reshape(B, Skv, self.heads, self.head_dim)
+        def compute() -> jnp.ndarray:
+            q = dense(inner, "to_q")(x)
+            k = dense(inner, "to_k")(ctx)
+            v = dense(inner, "to_v")(ctx)
+            B, Sq = q.shape[0], q.shape[1]
+            Skv = k.shape[1]
+            q = q.reshape(B, Sq, self.heads, self.head_dim)
+            k = k.reshape(B, Skv, self.heads, self.head_dim)
+            v = v.reshape(B, Skv, self.heads, self.head_dim)
+            out = dot_product_attention(
+                q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl
+            )
+            return nn.Dense(
+                self.query_dim,
+                use_bias=self.out_bias,
+                dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype,
+                name="to_out",
+            )(out.reshape(B, Sq, inner))
 
-        out = dot_product_attention(
-            q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl
+        if not self.pab or refresh is None:
+            return compute()
+
+        out_shape = x.shape[:-1] + (self.query_dim,)
+        cache = self.variable(
+            "pab_cache", "out",
+            lambda: jnp.zeros(out_shape, self.policy.compute_dtype),
         )
-        out = out.reshape(B, Sq, inner)
-        return nn.Dense(
-            self.query_dim,
-            use_bias=self.out_bias,
-            dtype=self.policy.compute_dtype,
-            param_dtype=self.policy.param_dtype,
-            name="to_out",
-        )(out)
+        if self.is_initializing():
+            out = compute()
+        else:
+            import jax
+
+            out = jax.lax.cond(refresh, compute, lambda: cache.value)
+        cache.value = out
+        return out
 
 
 class GEGLU(nn.Module):

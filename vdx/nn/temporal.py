@@ -50,9 +50,10 @@ class TemporalBlock(nn.Module):
     max_seq_length: int = 32
     policy: Policy = DEFAULT_POLICY
     temporal_impl: str = "local"
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, refresh=None) -> jnp.ndarray:
         F = x.shape[1]
         axis = _ring_axis(self.temporal_impl)
         if axis is None:
@@ -70,15 +71,15 @@ class TemporalBlock(nn.Module):
         h = h + pe[None]
         x = x + Attention(
             self.dim, self.heads, self.head_dim, policy=self.policy,
-            attn_impl=attn_impl, name="attn1",
-        )(h)
+            attn_impl=attn_impl, pab=self.pab, name="attn1",
+        )(h, refresh=refresh)
 
         h = LayerNormF32(policy=self.policy, name="norm2")(x)
         h = h + pe[None]
         x = x + Attention(
             self.dim, self.heads, self.head_dim, policy=self.policy,
-            attn_impl=attn_impl, name="attn2",
-        )(h)
+            attn_impl=attn_impl, pab=self.pab, name="attn2",
+        )(h, refresh=refresh)
 
         h = LayerNormF32(policy=self.policy, name="norm3")(x)
         x = x + FeedForward(self.dim, policy=self.policy, name="ff")(h)
@@ -96,9 +97,10 @@ class TemporalTransformer3D(nn.Module):
     max_seq_length: int = 32
     policy: Policy = DEFAULT_POLICY
     temporal_impl: str = "local"
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, num_frames: int, refresh=None) -> jnp.ndarray:
         BF, H, W, C = x.shape
         F = num_frames
         B = BF // F
@@ -140,8 +142,9 @@ class TemporalTransformer3D(nn.Module):
                 max_seq_length=self.max_seq_length,
                 policy=self.policy,
                 temporal_impl=self.temporal_impl,
+                pab=self.pab,
                 name=f"blocks_{i}",
-            )(h)
+            )(h, refresh=refresh)
         h = nn.Dense(
             C,
             dtype=self.policy.compute_dtype,

@@ -42,10 +42,15 @@ class BasicTransformerBlock(nn.Module):
     context_dim: Optional[int] = None
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    pab: bool = False
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        context: Optional[jnp.ndarray] = None,
+        refresh_self=None,
+        refresh_cross=None,
     ) -> jnp.ndarray:
         h = LayerNormF32(policy=self.policy, name="norm1")(x)
         x = x + Attention(
@@ -54,8 +59,9 @@ class BasicTransformerBlock(nn.Module):
             self.head_dim,
             policy=self.policy,
             attn_impl=self.attn_impl,
+            pab=self.pab,
             name="attn1",
-        )(h)
+        )(h, refresh=refresh_self)
 
         h = LayerNormF32(policy=self.policy, name="norm2")(x)
         x = x + Attention(
@@ -65,8 +71,9 @@ class BasicTransformerBlock(nn.Module):
             context_dim=self.context_dim,
             policy=self.policy,
             attn_impl=self.attn_impl,
+            pab=self.pab,
             name="attn2",
-        )(h, context)
+        )(h, context, refresh=refresh_cross)
 
         h = LayerNormF32(policy=self.policy, name="norm3")(x)
         x = x + FeedForward(self.dim, policy=self.policy, name="ff")(h)
@@ -85,9 +92,11 @@ class SpatialTransformer(nn.Module):
     depth: int = 1
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray,
+                 refresh_self=None, refresh_cross=None) -> jnp.ndarray:
         B, H, W, C = x.shape
         residual = x
         h = GroupNormModule(32, 1e-6, self.policy, name="norm")(x)
@@ -107,8 +116,9 @@ class SpatialTransformer(nn.Module):
                 context_dim=self.context_dim,
                 policy=self.policy,
                 attn_impl=self.attn_impl,
+                pab=self.pab,
                 name=f"blocks_{i}",
-            )(h, context)
+            )(h, context, refresh_self=refresh_self, refresh_cross=refresh_cross)
         h = h.reshape(B, H, W, C)
         h = nn.Conv(
             C,

@@ -41,6 +41,23 @@ from vdx.models.vae import AutoencoderKL, VAEConfig
 from vdx.schedulers import get_sampler
 
 
+@dataclasses.dataclass(frozen=True)
+class PABConfig:
+    """Pyramid Attention Broadcast schedule (training-free turbo mode).
+
+    Attention outputs drift slowly across adjacent denoise steps; broadcast
+    (reuse) each attention type's output between refreshes — cross-attention
+    drifts slowest, spatial fastest (the "pyramid"). Always refresh during
+    the first/last steps where the trajectory moves quickly.
+    """
+
+    spatial_interval: int = 2
+    temporal_interval: int = 4
+    cross_interval: int = 6
+    warmup_steps: int = 2
+    cooldown_steps: int = 2
+
+
 @dataclasses.dataclass
 class PipelineOutput:
     """``frames[0]`` is the list of PIL frames for the first (only) video —
@@ -66,9 +83,14 @@ class VideoDiffusionPipeline:
         policy: Policy = DEFAULT_POLICY,
         scheduler: str = "euler",
         attn_impl: str = "auto",
+        pab: "PABConfig | None" = None,
     ):
         unet_config = unet_config or self.denoiser_config_cls()
-        self.unet = self.denoiser_cls(unet_config, policy=policy, attn_impl=attn_impl)
+        unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
+        if pab is not None:
+            unet_kwargs["pab"] = True  # denoiser must support the pab flag
+        self.pab = pab
+        self.unet = self.denoiser_cls(unet_config, **unet_kwargs)
         self.vae = AutoencoderKL(vae_config, policy=policy)
         self.text_encoder = CLIPTextModel(text_config, policy=policy)
         self.tokenizer = tokenizer or load_tokenizer()
@@ -166,6 +188,12 @@ class VideoDiffusionPipeline:
         tables = sampler.make_tables(num_steps)
         unet = self.unet
         is_dpm = scheduler.startswith("dpm")
+        pab = self.pab
+        if pab is not None and is_dpm:
+            raise ValueError("PAB turbo mode supports ddim/euler samplers")
+        if pab is not None:
+            return self._denoise_fn_pab(num_steps, sampler, tables, guidance, pab,
+                                        latent_shape), tables
 
         def denoise(unet_params, key, context, guidance_scale):
             latents = (
@@ -197,6 +225,62 @@ class VideoDiffusionPipeline:
             return out[0] if is_dpm else out
 
         return jax.jit(denoise), tables
+
+    def _denoise_fn_pab(self, num_steps, sampler, tables, guidance, pab,
+                        latent_shape):
+        """PAB variant: step 0 populates the attention cache (outside the
+        scan so the carry structure exists); steps 1..N-1 scan with the
+        cache threaded through the carry and per-type refresh flags."""
+        unet = self.unet
+
+        def refresh_flags(i):
+            hot = (i < pab.warmup_steps) | (i >= num_steps - pab.cooldown_steps)
+            return {
+                "spatial": hot | (i % pab.spatial_interval == 0),
+                "temporal": hot | (i % pab.temporal_interval == 0),
+                "cross": hot | (i % pab.cross_interval == 0),
+            }
+
+        def denoise(unet_params, key, context, guidance_scale):
+            latents = (
+                jax.random.normal(key, latent_shape, dtype=jnp.float32)
+                * tables.init_noise_sigma
+            )
+
+            def unet_step(lat, i, variables, mutable):
+                model_in = jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                model_in = sampler.scale_model_input(model_in, i, tables)
+                t_b = jnp.broadcast_to(tables.timesteps[i], (model_in.shape[0],))
+                eps, mut = unet.apply(
+                    variables, model_in, t_b, context,
+                    pab_refresh=refresh_flags(i), mutable=mutable,
+                )
+                if guidance:
+                    u, c = jnp.split(eps, 2, axis=0)
+                    eps = u + guidance_scale * (c - u)
+                return sampler.step(lat, eps, i, tables), mut["pab_cache"]
+
+            # step 0: creates the cache collection
+            latents, cache = unet_step(
+                latents, jnp.asarray(0), {"params": unet_params["params"]},
+                ["pab_cache"],
+            )
+
+            def body(carry, i):
+                lat, cache = carry
+                lat, cache = unet_step(
+                    lat, i,
+                    {"params": unet_params["params"], "pab_cache": cache},
+                    ["pab_cache"],
+                )
+                return (lat, cache), None
+
+            (latents, _), _ = jax.lax.scan(
+                body, (latents, cache), jnp.arange(1, num_steps)
+            )
+            return latents
+
+        return jax.jit(denoise)
 
     @functools.lru_cache(maxsize=8)
     def _decode_fn(self, chunk: int):
@@ -252,7 +336,7 @@ class VideoDiffusionPipeline:
 
         latent_shape = (1, num_frames, h, w, self.unet.config.in_channels)
         cache_key = ("denoise", num_inference_steps, scheduler, guidance,
-                     latent_shape, context.shape)
+                     latent_shape, context.shape, self.pab)
         if cache_key not in self._compiled:
             self._compiled[cache_key], _ = self._denoise_fn(
                 num_inference_steps, scheduler, guidance, latent_shape
