@@ -62,7 +62,7 @@ def _run() -> None:
         height=512,
         width=512,
         output_type="np",
-        decode_chunk=2,
+        decode_chunk=8,
     )
     prompt = "a corgi walking on the beach, sunset lighting, high quality"
 

@@ -319,7 +319,7 @@ class VideoDiffusionPipeline:
         seed: Union[int, jax.Array] = 0,
         scheduler: Optional[str] = None,
         output_type: str = "pil",
-        decode_chunk: int = 4,
+        decode_chunk: int = 8,
     ) -> PipelineOutput:
         assert self.params is not None, "load or init params first"
         scheduler = scheduler or self.scheduler
