@@ -23,8 +23,7 @@ state dicts shaped from the rules themselves + our tiny configs.
 
 from __future__ import annotations
 
-import re
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import numpy as np
 

@@ -24,7 +24,7 @@ vdx.metrics.flow) is the production host path for batch measurement.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+
 
 import numpy as np
 from scipy.ndimage import correlate1d

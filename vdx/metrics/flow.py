@@ -12,7 +12,6 @@ tests/test_metrics.py).
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 from typing import Optional
 

@@ -16,7 +16,7 @@ golden values require the real weights (SURVEY.md §4).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ sharding maps exactly like the UNet's motion modules (parallel/ring_attention).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
 from vdx.nn.temporal import TemporalBlock
-from vdx.nn.transformer import BasicTransformerBlock, SpatialTransformer
+from vdx.nn.transformer import BasicTransformerBlock
 
 
 @dataclasses.dataclass(frozen=True)

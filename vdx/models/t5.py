@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
-from vdx.ops.attention import dot_product_attention
 
 
 @dataclasses.dataclass(frozen=True)

@@ -20,7 +20,7 @@ Motion modules: 8 heads, sinusoidal frame PE, max 32 frames.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ shardings; no NCCL-style transport layer exists or is needed.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -8,7 +8,6 @@ driver's multi-chip dry run and as the framework's fine-tuning entry point.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

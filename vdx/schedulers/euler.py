@@ -17,7 +17,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from vdx.schedulers.common import ScheduleConfig, make_alphas_cumprod, timesteps_linspace
+from vdx.schedulers.common import ScheduleConfig, make_alphas_cumprod
 
 
 @dataclasses.dataclass(frozen=True)
