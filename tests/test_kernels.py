@@ -39,6 +39,23 @@ def test_flash_matches_xla(B, S, H, D):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
+@pytest.mark.parametrize("B,S,H,D", [(1, 256, 2, 40), (2, 300, 4, 64)])
+def test_flash_dt_matches_xla(B, S, H, D):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention_dt
+
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D), jnp.float32)
+    scale = D**-0.5
+    expected = _xla_attention(q, k, v, scale, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_dt(q, k, v, scale=scale, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
 def test_flash_cross_attention_shapes():
     """Skv != Sq (cross-attention 77-token context)."""
     key = jax.random.PRNGKey(1)

@@ -144,6 +144,119 @@ def flash_attention(
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+def flash_attention_dt(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block_q: int = 1024,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Transposed-layout flash attention — zero head-dim padding waste.
+
+    The standard layout pads D to the 128-lane boundary, wasting 128/D of
+    the MXU on BOTH matmuls at SD-1.5's D=40/80 head dims. Here everything
+    runs D-major:
+
+        scores^T [BK, BQ] = dot(k^T [D, BK], q^T [D, BQ])   (contract D on
+                                                             SUBLANES: D=40
+                                                             -> 5 tiles, no pad)
+        out^T    [D, BQ]  = dot(v^T [D, BK], p [BK, BQ])    (contract BK on
+                                                             lanes: no pad)
+
+    Softmax statistics reduce across sublanes ([1, BQ] running max/sum) —
+    lane-broadcast friendly. Host-side transposes to/from [B*H, D, S] are
+    one cheap XLA pass each. Requires D % 8 == 0 (sublane tile).
+    """
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    assert D % 8 == 0, D
+
+    def fold_t(x):  # [B, S, H, D] -> [B*H, D, S]
+        return x.transpose(0, 2, 3, 1).reshape(B * x.shape[2], x.shape[3], x.shape[1])
+
+    qt, kt, vt = fold_t(q), fold_t(k), fold_t(v)
+    bq = min(block_q, max(128, ((Sq + 127) // 128) * 128))
+    bk = min(block_k, max(128, ((Skv + 127) // 128) * 128))
+    Sqp = ((Sq + bq - 1) // bq) * bq
+    Skvp = ((Skv + bk - 1) // bk) * bk
+    qt = _pad_to(qt, Sqp, 2)
+    kt = _pad_to(kt, Skvp, 2)
+    vt = _pad_to(vt, Skvp, 2)
+
+    kv_steps = Skvp // bk
+    grid = (B * H, Sqp // bq, kv_steps)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_dt_kernel, scale=scale, kv_steps=kv_steps, kv_len=Skv,
+            block_k=bk, masked=(Skvp != Skv),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, D, bk), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, D, bk), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, D, bq), lambda b, qi, ki: (b, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((B * H, D, Sqp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((D, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+            pltpu.VMEM((1, bq), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(qt, kt, vt)
+
+    out = out[:, :, :Sq]  # [BH, D, Sq]
+    return out.reshape(B, H, D, Sq).transpose(0, 3, 1, 2)
+
+
+def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
+                     *, scale, kv_steps, kv_len, block_k, masked):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    qt = qt_ref[0]  # [D, BQ]
+    kt = kt_ref[0]  # [D, BK]
+    vt = vt_ref[0]  # [D, BK]
+
+    # scores^T [BK, BQ]: contract over D (sublanes of both operands)
+    s = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    if masked:
+        kv_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+
+    m_prev = m_ref[:]  # [1, BQ]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # [BK, BQ]
+
+    l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=0, keepdims=True)
+    # out^T [D, BQ]: contract over BK (lanes of vt, sublanes of p)
+    pv = jax.lax.dot_general(
+        vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:] = alpha * acc_ref[:] + pv
+    m_ref[:] = m_new
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
 def _flash_kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                          *, scale, kv_steps, kv_len, block_k):
     del kv_len, block_k

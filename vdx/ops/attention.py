@@ -75,6 +75,13 @@ def dot_product_attention(
         )
 
     if impl == "flash":
+        D = q.shape[-1]
+        if D % 8 == 0 and D < 128:
+            # transposed layout: no 128-lane head-dim padding (25% faster at
+            # the UNet's D=40/80 shapes — PERF.md kernel table)
+            from vdx.kernels.flash_attention import flash_attention_dt
+
+            return flash_attention_dt(q, k, v, scale=scale)
         from vdx.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
