@@ -38,6 +38,65 @@ class TestFrameSharded:
             np.asarray(got), np.asarray(expected), atol=2e-4
         )
 
+    def test_svd_matches_local(self):
+        """Frame-sharded UNetSpatioTemporal == local: ring attention, halo'd
+        temporal convs, pmean'd GN stats all exact."""
+        from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
+        from vdx.parallel.frame_parallel import make_frame_sharded_svd_unet
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(1, 4, 1)
+        cfg = SVDUNetConfig.tiny()
+        local = UNetSpatioTemporal(cfg, policy=FP32_POLICY)
+        B, F, H, W = 1, 8, 16, 16
+        sample = jax.random.normal(
+            jax.random.PRNGKey(0), (B, F, H, W, cfg.in_channels)
+        )
+        t = jnp.asarray([0.5])
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 1, cfg.cross_attention_dim)
+        )
+        aids = jnp.asarray([[6.0, 127.0, 0.02]])
+        params = local.init(jax.random.PRNGKey(2), sample, t, emb, aids)
+        expected = local.apply(params, sample, t, emb, aids)
+
+        _, sharded_apply = make_frame_sharded_svd_unet(cfg, mesh, policy=FP32_POLICY)
+        got = jax.jit(sharded_apply)(params, sample, t, emb, aids)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-4
+        )
+
+    def test_pipeline_surface_matches_unsharded(self):
+        """AnimateDiffPipeline(frame_shards=4) == the plain pipeline: same
+        params (same init seed), same generation seed, same frames."""
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kwargs = dict(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=8, height=64, width=64, num_inference_steps=3,
+                   seed=7, output_type="np")
+        local = AnimateDiffPipeline.with_random_params(**kwargs)
+        a = local("portrait", **gen).frames[0]
+        sharded = AnimateDiffPipeline.with_random_params(
+            frame_shards=4, **kwargs
+        )
+        b = sharded("portrait", **gen).frames[0]
+        assert b.shape == a.shape
+        # uint8 frames; ring-attention reduction order may flip the odd LSB
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
+
     def test_output_shape_sharding(self, setup):
         """Output keeps the input's frame sharding over the mesh axis."""
         from jax.sharding import NamedSharding, PartitionSpec as P

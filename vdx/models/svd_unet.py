@@ -31,8 +31,9 @@ import jax.numpy as jnp
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
-from vdx.nn.temporal import TemporalBlock
+from vdx.nn.temporal import TemporalBlock, _ring_axis
 from vdx.nn.transformer import BasicTransformerBlock
+from vdx.ops.halo import frame_halo_pad
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,33 +81,53 @@ class AlphaBlender(nn.Module):
 class SpatioTemporalResBlock(nn.Module):
     out_channels: int
     policy: Policy = DEFAULT_POLICY
+    # "local" or "ring:<axis>" — under frame sharding the 3x1x1 temporal
+    # convs halo-exchange edge frames over ICI (ops/halo.py) and the GN
+    # statistics pmean across the frame shards; results are exact vs local.
+    temporal_impl: str = "local"
+
+    def _tconv(self, t, axis, name, zero_init):
+        # SAME zero padding over frames locally == halo-pad + VALID sharded
+        if axis is None:
+            pad_f = (1, 1)
+        else:
+            t = frame_halo_pad(t, axis, halo=1, frame_axis=1)
+            pad_f = (0, 0)
+        return nn.Conv(
+            self.out_channels, (3, 1, 1), padding=[pad_f, (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            kernel_init=nn.initializers.zeros if zero_init
+            else nn.initializers.lecun_normal(),
+            name=name,
+        )(t)
 
     @nn.compact
     def __call__(self, x, temb, num_frames: int):
+        axis = _ring_axis(self.temporal_impl)
+        groups = 32 if self.out_channels % 32 == 0 else min(self.out_channels, 8)
         # spatial branch on [B*F, H, W, C]
         s = ResnetBlock2D(self.out_channels, policy=self.policy, name="spatial")(x, temb)
-        # temporal branch: 3x1x1 resblock over frames
+        # temporal branch: 3x1x1 resblock over frames (per-frame time emb)
         BF, H, W, C = s.shape
         B = BF // num_frames
         h = s.reshape(B, num_frames, H, W, C)
         t = GroupNormModule(
-            32 if self.out_channels % 32 == 0 else min(self.out_channels, 8),
-            1e-5, self.policy, with_silu=True, name="tnorm1",
+            groups, 1e-5, self.policy, with_silu=True, stats_axis=axis,
+            name="tnorm1",
         )(h)
-        t = nn.Conv(
-            self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
-            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
-            name="tconv1",
-        )(t)
+        t = self._tconv(t, axis, "tconv1", zero_init=False)
+        if temb is not None:
+            te = nn.silu(temb.astype(jnp.float32)).astype(self.policy.compute_dtype)
+            te = nn.Dense(
+                self.out_channels, dtype=self.policy.compute_dtype,
+                param_dtype=self.policy.param_dtype, name="ttime_emb_proj",
+            )(te)  # temb is [B*F, D] -> per-frame bias
+            t = t + te.reshape(B, num_frames, 1, 1, C)
         t = GroupNormModule(
-            32 if self.out_channels % 32 == 0 else min(self.out_channels, 8),
-            1e-5, self.policy, with_silu=True, name="tnorm2",
+            groups, 1e-5, self.policy, with_silu=True, stats_axis=axis,
+            name="tnorm2",
         )(t)
-        t = nn.Conv(
-            self.out_channels, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
-            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
-            kernel_init=nn.initializers.zeros, name="tconv2",
-        )(t)
+        t = self._tconv(t, axis, "tconv2", zero_init=True)
         t = (h + t).reshape(BF, H, W, C)
         return AlphaBlender(name="mix")(s, t)
 
@@ -117,6 +138,7 @@ class TransformerSpatioTemporal(nn.Module):
     context_dim: int
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    temporal_impl: str = "local"
 
     @nn.compact
     def __call__(self, x, context, num_frames: int):
@@ -139,6 +161,7 @@ class TransformerSpatioTemporal(nn.Module):
         ht = hs.reshape(B, num_frames, H * W, C).transpose(0, 2, 1, 3)
         ht = ht.reshape(B * H * W, num_frames, C)
         ht = TemporalBlock(C, self.heads, self.head_dim, policy=self.policy,
+                           temporal_impl=self.temporal_impl,
                            name="temporal_block")(ht)
         ht = ht.reshape(B, H * W, num_frames, C).transpose(0, 2, 1, 3)
         ht = ht.reshape(BF, H * W, C)
@@ -153,18 +176,22 @@ class UNetSpatioTemporal(nn.Module):
     config: SVDUNetConfig = SVDUNetConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    # "local" or "ring:<axis>" — frame-sharded execution (parallel/frame_parallel)
+    temporal_impl: str = "local"
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
         cfg = self.config
-        x = SpatioTemporalResBlock(channels, policy=self.policy, name=f"{name}_res")(
-            x, temb, num_frames
-        )
+        x = SpatioTemporalResBlock(
+            channels, policy=self.policy, temporal_impl=self.temporal_impl,
+            name=f"{name}_res",
+        )(x, temb, num_frames)
         if has_attn:
             heads = max(1, channels // cfg.attention_head_dim)
             x = TransformerSpatioTemporal(
                 heads=heads, head_dim=channels // heads,
                 context_dim=cfg.cross_attention_dim, policy=self.policy,
-                attn_impl=self.attn_impl, name=f"{name}_attn",
+                attn_impl=self.attn_impl, temporal_impl=self.temporal_impl,
+                name=f"{name}_attn",
             )(x, context, num_frames)
         return x
 
@@ -218,9 +245,10 @@ class UNetSpatioTemporal(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         x = self._layer(x, temb, context, num_frames, mid_ch, True, "mid_0")
-        x = SpatioTemporalResBlock(mid_ch, policy=self.policy, name="mid_res_1")(
-            x, temb, num_frames
-        )
+        x = SpatioTemporalResBlock(
+            mid_ch, policy=self.policy, temporal_impl=self.temporal_impl,
+            name="mid_res_1",
+        )(x, temb, num_frames)
 
         for bi, ch in enumerate(reversed(cfg.block_out_channels)):
             for li in range(cfg.layers_per_block + 1):

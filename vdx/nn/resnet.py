@@ -31,12 +31,17 @@ def _conv(features: int, kernel: int, policy: Policy, name: str, stride: int = 1
 
 
 class GroupNormModule(nn.Module):
-    """Affine GroupNorm as a parameter-holding module (fp32 stats)."""
+    """Affine GroupNorm as a parameter-holding module (fp32 stats).
+
+    ``stats_axis``: mesh axis name to pmean the moments over when the
+    reduction dims are sharded (frame-sharded temporal blocks).
+    """
 
     num_groups: int = 32
     eps: float = 1e-5
     policy: Policy = DEFAULT_POLICY
     with_silu: bool = False
+    stats_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -44,10 +49,12 @@ class GroupNormModule(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (C,), self.policy.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (C,), self.policy.param_dtype)
         if self.with_silu:
-            return group_norm_silu(x, self.num_groups, scale, bias, self.eps)
+            return group_norm_silu(
+                x, self.num_groups, scale, bias, self.eps, self.stats_axis
+            )
         from vdx.ops.groupnorm import group_norm
 
-        return group_norm(x, self.num_groups, scale, bias, self.eps)
+        return group_norm(x, self.num_groups, scale, bias, self.eps, self.stats_axis)
 
 
 class ResnetBlock2D(nn.Module):

@@ -13,33 +13,49 @@ itself fully fuseable by XLA.
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 
-def group_norm(
+@functools.lru_cache(maxsize=1)
+def _pallas_gn_available() -> bool:
+    if os.environ.get("VDX_GN_IMPL") == "xla":
+        return False
+    try:
+        from vdx.kernels import groupnorm  # noqa: F401
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _group_norm_xla(
     x: jnp.ndarray,
     num_groups: int,
     scale: Optional[jnp.ndarray],
     bias: Optional[jnp.ndarray],
     eps: float = 1e-5,
+    stats_axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """GroupNorm over a channels-last tensor [..., C] with batch on axis 0.
-
-    All axes except 0 (batch) and the group split of the last axis are
-    reduction axes — for [B, F, H, W, C] inputs the stats correctly span
-    frames and space jointly, matching torch GN over [B, C, F, H, W].
-    """
+    """XLA reference formulation (fully fuseable; used on CPU and as the
+    differentiation rule for the Pallas path)."""
     orig_dtype = x.dtype
     C = x.shape[-1]
     assert C % num_groups == 0, (C, num_groups)
     gshape = x.shape[:-1] + (num_groups, C // num_groups)
     xg = x.astype(jnp.float32).reshape(gshape)
     axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    mean = xg.mean(axis=axes, keepdims=True)
-    var = xg.var(axis=axes, keepdims=True)
+    if stats_axis_name is not None:
+        mean = jax.lax.pmean(xg.mean(axis=axes, keepdims=True), stats_axis_name)
+        sq = jax.lax.pmean((xg * xg).mean(axis=axes, keepdims=True), stats_axis_name)
+        var = sq - mean * mean
+    else:
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = xg.var(axis=axes, keepdims=True)
     xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     x = xg.reshape(x.shape)
     if scale is not None:
@@ -49,14 +65,87 @@ def group_norm(
     return x.astype(orig_dtype)
 
 
+def _group_norm_silu_xla(x, num_groups, scale, bias, eps=1e-5,
+                         stats_axis_name=None):
+    y = _group_norm_xla(x, num_groups, scale, bias, eps, stats_axis_name)
+    y32 = y.astype(jnp.float32)
+    return (y32 * jnp.reciprocal(1.0 + jnp.exp(-y32))).astype(x.dtype)
+
+
+# ----------------------------------------------------------------------
+# Pallas dispatch: fused single/two-phase kernels on TPU, XLA backward
+# (the kernel is forward-only; gradients reuse the XLA formulation's VJP).
+# ----------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_pallas(x, scale, bias, num_groups, eps, with_silu):
+    from vdx.kernels.groupnorm import group_norm_silu_pallas
+
+    return group_norm_silu_pallas(x, num_groups, scale, bias, eps, with_silu)
+
+
+def _gn_pallas_fwd(x, scale, bias, num_groups, eps, with_silu):
+    return _gn_pallas(x, scale, bias, num_groups, eps, with_silu), (x, scale, bias)
+
+
+def _gn_pallas_bwd(num_groups, eps, with_silu, res, g):
+    x, scale, bias = res
+    ref = _group_norm_silu_xla if with_silu else _group_norm_xla
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: ref(xx, num_groups, ss, bb, eps), x, scale, bias
+    )
+    return vjp(g)
+
+
+_gn_pallas.defvjp(_gn_pallas_fwd, _gn_pallas_bwd)
+
+
+def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu):
+    if (
+        stats_axis_name is None
+        and scale is not None
+        and bias is not None
+        and x.ndim >= 3
+        and x.shape[-1] % num_groups == 0
+        and _pallas_gn_available()
+    ):
+        return _gn_pallas(x, scale, bias, num_groups, eps, with_silu)
+    ref = _group_norm_silu_xla if with_silu else _group_norm_xla
+    return ref(x, num_groups, scale, bias, eps, stats_axis_name)
+
+
+def group_norm(
+    x: jnp.ndarray,
+    num_groups: int,
+    scale: Optional[jnp.ndarray],
+    bias: Optional[jnp.ndarray],
+    eps: float = 1e-5,
+    stats_axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """GroupNorm over a channels-last tensor [..., C] with batch on axis 0.
+
+    All axes except 0 (batch) and the group split of the last axis are
+    reduction axes — for [B, F, H, W, C] inputs the stats correctly span
+    frames and space jointly, matching torch GN over [B, C, F, H, W].
+
+    ``stats_axis_name``: when the reduction dims are sharded over a mesh axis
+    (frame sharding inside shard_map), pmean the moments across it so the
+    statistics span the GLOBAL tensor.
+
+    On TPU, dispatches to the fused Pallas kernel (kernels/groupnorm.py);
+    set VDX_GN_IMPL=xla to force the XLA formulation.
+    """
+    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, False)
+
+
 def group_norm_silu(
     x: jnp.ndarray,
     num_groups: int,
     scale: Optional[jnp.ndarray],
     bias: Optional[jnp.ndarray],
     eps: float = 1e-5,
+    stats_axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """GroupNorm followed by SiLU — the UNet ResNet hot pattern."""
-    y = group_norm(x, num_groups, scale, bias, eps)
-    y32 = y.astype(jnp.float32)
-    return (y32 * jnp.reciprocal(1.0 + jnp.exp(-y32))).astype(x.dtype)
+    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, True)

@@ -19,7 +19,45 @@ import functools
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
+
+
+def make_frame_sharded_denoiser(
+    denoiser_cls,
+    config,
+    mesh: Mesh,
+    *,
+    policy=None,
+    axis: str = "frames",
+    attn_impl: str = "auto",
+    n_conditioning: int = 1,
+):
+    """Generic frame-sharded denoiser (any model with a ``temporal_impl`` knob).
+
+    Returns (ring_model, sharded_apply) where sharded_apply takes
+    (params, sample [B, F, ...], timestep, *conditioning) with F sharded
+    over ``axis`` and everything else replicated.  ``n_conditioning`` is the
+    number of replicated conditioning args after timestep (1 for text
+    context; 2 for SVD's image_embeds + added_time_ids).
+    """
+    kwargs = {"config": config, "attn_impl": attn_impl,
+              "temporal_impl": f"ring:{axis}"}
+    if policy is not None:
+        kwargs["policy"] = policy
+    model = denoiser_cls(**kwargs)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis), P()) + (P(),) * n_conditioning,
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    def sharded_apply(params, sample, timestep, *conditioning):
+        return model.apply(params, sample, timestep, *conditioning)
+
+    return model, sharded_apply
 
 
 def make_frame_sharded_unet(
@@ -35,20 +73,29 @@ def make_frame_sharded_unet(
     sharded_apply(params, sample [B, F, H, W, C], t, context) -> eps, with
     F sharded over ``axis``; params and conditioning replicated.
     """
-    kwargs = {"config": config, "attn_impl": attn_impl,
-              "temporal_impl": f"ring:{axis}"}
-    if policy is not None:
-        kwargs["policy"] = policy
-    model = UNetMotion(**kwargs)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(None, axis), P(), P()),
-        out_specs=P(None, axis),
-        check_vma=False,
+    return make_frame_sharded_denoiser(
+        UNetMotion, config, mesh, policy=policy, axis=axis, attn_impl=attn_impl
     )
-    def sharded_apply(params, sample, timestep, context):
-        return model.apply(params, sample, timestep, context)
 
-    return model, sharded_apply
+
+def make_frame_sharded_svd_unet(
+    config: SVDUNetConfig,
+    mesh: Mesh,
+    *,
+    policy=None,
+    axis: str = "frames",
+    attn_impl: str = "auto",
+):
+    """Frame-sharded UNetSpatioTemporal (the SVD north-star denoiser).
+
+    Returns (ring_model, sharded_apply) where
+    sharded_apply(params, sample [B, F, H, W, 8], t, image_embeds,
+    added_time_ids) -> eps with F sharded over ``axis``.  Communication:
+    ring attention in the temporal transformer blocks, 1-frame halo
+    exchange in the 3x1x1 temporal resblock convs, pmean'd GroupNorm stats
+    (exact vs local execution — tests/test_frame_parallel.py).
+    """
+    return make_frame_sharded_denoiser(
+        UNetSpatioTemporal, config, mesh, policy=policy, axis=axis,
+        attn_impl=attn_impl, n_conditioning=2,
+    )

@@ -47,30 +47,57 @@ def auto_mesh(n_devices: Optional[int] = None) -> Mesh:
     return make_mesh(data, frames, tensor)
 
 
+# Megatron-style paired split (attention + MLP): the producer of the inner
+# activation splits its OUTPUT axis (column), the consumer splits its INPUT
+# axis (row) — the inner activation then lives sharded with no collective
+# between the pair; XLA inserts one reduce at the row-split output.
+_COL_SPLIT = ("to_q", "to_k", "to_v", "net_0", "fc1", "q_proj", "k_proj",
+              "v_proj", "ff_in")
+_ROW_SPLIT = ("to_out", "net_2", "fc2", "out_proj", "ff_out")
+
+
 def param_sharding_rules(params, mesh: Mesh, min_size: int = 2**16):
     """Tensor-parallel shardings for a pytree of params.
 
-    Heuristic TP rule: large 2D kernels shard their output (last) axis over
-    ``tensor``; everything else replicates. This splits every attention
-    qkv/out projection and MLP across chips — the standard Megatron-style
-    split — while XLA's SPMD partitioner propagates the activation shardings
-    and inserts the collectives.
+    Column/row paired split over attention qkv/out and MLP in/out (module
+    names above); any other large >=2D kernel splits its output (last)
+    axis. Column-split biases shard with their kernels. XLA's SPMD
+    partitioner propagates the activation shardings and inserts the
+    collectives; numerical parity with the replicated model is tested
+    (tests/test_mesh_extra.py).
     """
     tensor_size = mesh.shape["tensor"]
 
-    def rule(x):
+    def rule(path, x):
+        if tensor_size <= 1 or not hasattr(x, "ndim"):
+            return NamedSharding(mesh, P())
+        names = [str(getattr(p, "key", p)) for p in path]
+        col = any(n in _COL_SPLIT for n in names)
+        row = any(n in _ROW_SPLIT for n in names)
         if (
-            tensor_size > 1
-            and hasattr(x, "ndim")
-            and x.ndim >= 2
+            x.ndim >= 2
             and x.size >= min_size
-            and x.shape[-1] % tensor_size == 0
+            and row
+            and names[-1] == "kernel"
+            and x.shape[-2] % tensor_size == 0
         ):
+            spec = [None] * x.ndim
+            spec[-2] = "tensor"
+            return NamedSharding(mesh, P(*spec))
+        if x.ndim >= 2 and x.size >= min_size and x.shape[-1] % tensor_size == 0:
             spec = [None] * (x.ndim - 1) + ["tensor"]
             return NamedSharding(mesh, P(*spec))
+        if (
+            x.ndim == 1
+            and col
+            and names[-1] == "bias"
+            and x.shape[0] % tensor_size == 0
+            and x.size >= tensor_size
+        ):
+            return NamedSharding(mesh, P("tensor"))
         return NamedSharding(mesh, P())
 
-    return jax.tree.map(rule, params)
+    return jax.tree_util.tree_map_with_path(rule, params)
 
 
 def video_sharding(mesh: Mesh) -> NamedSharding:

@@ -39,8 +39,6 @@ def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(
         noise = jax.random.normal(rn, latents.shape, dtype=latents.dtype)
         a = acp[t][:, None, None, None, None]
         noisy = jnp.sqrt(a) * latents + jnp.sqrt(1.0 - a) * noise
-        # All B elements share one t inside the model call? No — the model
-        # takes per-batch timesteps [B].
         pred = model.apply(params, noisy, t, context)
         loss = jnp.mean((pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
         return loss

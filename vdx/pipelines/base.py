@@ -84,6 +84,8 @@ class VideoDiffusionPipeline:
         scheduler: str = "euler",
         attn_impl: str = "auto",
         pab: "PABConfig | None" = None,
+        frame_shards: int = 1,
+        mesh=None,
     ):
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
@@ -98,6 +100,25 @@ class VideoDiffusionPipeline:
         self.policy = policy
         self.scheduler = scheduler
         self._compiled = {}
+        # Frame-axis sequence parallelism on the pipeline surface: the
+        # denoise scan and VAE decode run frame-sharded over an n-device
+        # mesh (ring temporal attention; spatial/cross ops shard-local).
+        # Same params as local execution — the long-clip north star
+        # (SURVEY.md §5; capability analogue of the reference's memory
+        # scaling knobs, 01:85, 05:143-144).
+        self.frame_shards = frame_shards
+        self.mesh = None
+        self._sharded_unet_apply = None
+        if frame_shards > 1:
+            assert pab is None, "frame sharding and PAB are mutually exclusive"
+            from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
+            from vdx.parallel.mesh import make_mesh
+
+            self.mesh = mesh if mesh is not None else make_mesh(1, frame_shards, 1)
+            _, self._sharded_unet_apply = make_frame_sharded_denoiser(
+                self.denoiser_cls, unet_config, self.mesh,
+                policy=policy, attn_impl=attn_impl,
+            )
 
     # ------------------------------------------------------------------
     # Parameter initialisation / loading
@@ -195,11 +216,20 @@ class VideoDiffusionPipeline:
             return self._denoise_fn_pab(num_steps, sampler, tables, guidance, pab,
                                         latent_shape), tables
 
+        unet_apply = self._sharded_unet_apply or unet.apply
+        mesh = self.mesh
+
         def denoise(unet_params, key, context, guidance_scale):
             latents = (
                 jax.random.normal(key, latent_shape, dtype=jnp.float32)
                 * tables.init_noise_sigma
             )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                latents = jax.lax.with_sharding_constraint(
+                    latents, NamedSharding(mesh, P(None, "frames"))
+                )
             # latents: [B, F, h, w, 4]; context: [2B or B, 77, D]
             def body(carry, i):
                 if is_dpm:
@@ -210,7 +240,7 @@ class VideoDiffusionPipeline:
                 model_in = jnp.concatenate([lat, lat], axis=0) if guidance else lat
                 model_in = sampler.scale_model_input(model_in, i, tables)
                 t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
-                eps = unet.apply(unet_params, model_in, t_batch, context)
+                eps = unet_apply(unet_params, model_in, t_batch, context)
                 if guidance:
                     eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
                     eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
@@ -282,8 +312,12 @@ class VideoDiffusionPipeline:
 
         return jax.jit(denoise)
 
-    @functools.lru_cache(maxsize=8)
     def _decode_fn(self, chunk: int):
+        # cached in self._compiled (an lru_cache on the bound method would
+        # pin the pipeline instance for the process lifetime)
+        key = ("decode", chunk)
+        if key in self._compiled:
+            return self._compiled[key]
         vae = self.vae
 
         def decode(vae_params, latents):  # [F, h, w, 4] -> [F, H, W, 3] uint8
@@ -295,7 +329,20 @@ class VideoDiffusionPipeline:
             imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
             return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
-        return jax.jit(decode)
+        if self.mesh is not None:
+            # decode is per-frame pure: each device decodes its frame shard
+            import functools as _ft
+
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            decode = _ft.partial(
+                shard_map, mesh=self.mesh, in_specs=(P(), P("frames")),
+                out_specs=P("frames"), check_vma=False,
+            )(decode)
+
+        self._compiled[key] = jax.jit(decode)
+        return self._compiled[key]
 
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
         """-> [2, 77, D] context, ordered (uncond, cond) like the CFG split."""
@@ -334,6 +381,11 @@ class VideoDiffusionPipeline:
         if not guidance:
             context = context[1:]
 
+        if self.frame_shards > 1:
+            assert num_frames % self.frame_shards == 0, (
+                f"num_frames={num_frames} must divide over "
+                f"frame_shards={self.frame_shards}"
+            )
         latent_shape = (1, num_frames, h, w, self.unet.config.in_channels)
         cache_key = ("denoise", num_inference_steps, scheduler, guidance,
                      latent_shape, context.shape, self.pab)
@@ -349,8 +401,9 @@ class VideoDiffusionPipeline:
         if output_type == "latent":
             return PipelineOutput(frames=[], latents=latents)
 
-        chunk = max(1, min(decode_chunk, num_frames))
-        while num_frames % chunk:
+        local_frames = num_frames // self.frame_shards
+        chunk = max(1, min(decode_chunk, local_frames))
+        while local_frames % chunk:
             chunk -= 1
         frames_u8 = self._decode_fn(chunk)(self.params["vae"], latents[0])
         frames_np = np.asarray(frames_u8)
