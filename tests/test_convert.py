@@ -158,3 +158,144 @@ class TestRoundTrip:
         rules = unet_motion_rules(cfg)
         with pytest.raises(ValueError, match="conversion failed"):
             convert_checkpoint({}, params, rules, strict=True)
+
+
+# ----------------------------------------------------------------------
+# round-2 families: SVD UNet, temporal decoder, CLIP-vision, CogVideoX
+# ----------------------------------------------------------------------
+
+from vdx.core.convert import (  # noqa: E402
+    causal_vae_decoder_rules,
+    causal_vae_encoder_rules,
+    clip_vision_rules,
+    cogvideox_dit_rules,
+    svd_unet_rules,
+    t_conv3d,
+    t_conv3d_1x1_dense,
+    t_patch_conv,
+    temporal_decoder_rules,
+)
+
+
+def _src_for(transform, target_shape, rng):
+    """Torch-layout source array whose transform lands on target_shape."""
+    if transform is t_conv:
+        h, w, i, o = target_shape
+        return rng.standard_normal((o, i, h, w)).astype(np.float32)
+    if transform is t_conv3d:
+        t, h, w, i, o = target_shape
+        return rng.standard_normal((o, i, t, h, w)).astype(np.float32)
+    if transform is t_dense:
+        i, o = target_shape
+        return rng.standard_normal((o, i)).astype(np.float32)
+    if transform is t_conv3d_1x1_dense:
+        i, o = target_shape
+        return rng.standard_normal((o, i, 1, 1, 1)).astype(np.float32)
+    return rng.standard_normal(target_shape).astype(np.float32)
+
+
+def _assert_coverage_and_roundtrip(params, rules, special=None):
+    flat = flatten_params(params)
+    uncovered = [p for p in flat if p not in rules]
+    assert not uncovered, f"{len(uncovered)} uncovered: {uncovered[:10]}"
+
+    rng = np.random.default_rng(0)
+    state_dict, inverse = {}, {}
+    for path, leaf in flat.items():
+        hf_key, transform = rules[path]
+        if special and transform in special:
+            src = special[transform](tuple(leaf.shape), rng)
+        else:
+            src = _src_for(transform, tuple(leaf.shape), rng)
+        state_dict[hf_key] = src
+        inverse[path] = transform(src)
+    converted, report = convert_checkpoint(state_dict, params, rules)
+    assert not report["missing"] and not report["shape_errors"]
+    out = flatten_params(converted)
+    for path, expected in inverse.items():
+        np.testing.assert_array_equal(out[path], expected)
+
+
+class TestRound2FamilyRules:
+    def test_svd_unet_full_coverage_roundtrip(self):
+        from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
+
+        for cfg, roundtrip in ((SVDUNetConfig.tiny(), True),
+                               (SVDUNetConfig.svd(), False)):
+            model = UNetSpatioTemporal(cfg)
+            params = jax.eval_shape(
+                model.init, jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct((1, 2, 16, 16, cfg.in_channels), jnp.float32),
+                jax.ShapeDtypeStruct((1,), jnp.float32),
+                jax.ShapeDtypeStruct((1, 1, cfg.cross_attention_dim), jnp.float32),
+                jax.ShapeDtypeStruct((1, 3), jnp.float32),
+            )
+            rules = svd_unet_rules(cfg)
+            if roundtrip:
+                # value roundtrip on the tiny tree only; the production tree
+                # is coverage-checked (materialising 1.5B params is minutes)
+                _assert_coverage_and_roundtrip(params, rules)
+            else:
+                flat = flatten_params(params)
+                uncovered = [p for p in flat if p not in rules]
+                assert not uncovered, uncovered[:10]
+
+    def test_temporal_decoder_full_coverage_roundtrip(self):
+        from vdx.models.vae import TemporalDecoder, VAEConfig
+
+        cfg = VAEConfig.tiny()
+        dec = TemporalDecoder(cfg)
+        params = jax.eval_shape(
+            lambda k: dec.init(k, jnp.zeros((2, 8, 8, cfg.latent_channels)), 2),
+            jax.random.PRNGKey(0),
+        )
+        _assert_coverage_and_roundtrip(params, temporal_decoder_rules(cfg))
+
+    def test_clip_vision_full_coverage_roundtrip(self):
+        from vdx.models.clip_vision import CLIPVisionConfig, CLIPVisionModel
+
+        cfg = CLIPVisionConfig.tiny()
+        model = CLIPVisionModel(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+        )
+        _assert_coverage_and_roundtrip(params, clip_vision_rules(cfg))
+
+    def test_cogvideox_dit_full_coverage_roundtrip(self):
+        from vdx.models.cogvideox import CogVideoXConfig, CogVideoXDiT
+
+        cfg = CogVideoXConfig.tiny()
+        model = CogVideoXDiT(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 3, 8, 8, cfg.in_channels)), jnp.zeros((1,)),
+            jnp.zeros((1, cfg.max_text_len, cfg.text_dim)),
+        )
+
+        def patch_src(target_shape, rng):
+            pc, d = target_shape  # p*p*C, D
+            p = cfg.patch_size
+            c = pc // (p * p)
+            return rng.standard_normal((d, c, p, p)).astype(np.float32)
+
+        _assert_coverage_and_roundtrip(
+            params, cogvideox_dit_rules(cfg), special={t_patch_conv: patch_src}
+        )
+
+    def test_causal_vae_full_coverage_roundtrip(self):
+        from vdx.models.cogvideox import (
+            CausalVAEConfig,
+            CausalVAEDecoder,
+            CausalVAEEncoder,
+        )
+
+        cfg = CausalVAEConfig.tiny()
+        enc, dec = CausalVAEEncoder(cfg), CausalVAEDecoder(cfg)
+        pe = jax.eval_shape(
+            enc.init, jax.random.PRNGKey(0), jnp.zeros((1, 5, 32, 32, 3)))
+        pd = jax.eval_shape(
+            dec.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, 2, 4, 4, cfg.latent_channels)))
+        _assert_coverage_and_roundtrip(pe, causal_vae_encoder_rules(cfg))
+        _assert_coverage_and_roundtrip(pd, causal_vae_decoder_rules(cfg))

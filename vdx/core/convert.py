@@ -44,6 +44,26 @@ def t_id(w):
     return np.asarray(w)
 
 
+def t_conv3d(w):  # torch OITHW -> flax THWIO
+    return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
+
+
+def t_conv3d_1x1_dense(w):  # [O, I, 1, 1, 1] 3D shortcut conv -> Dense [I, O]
+    w = np.asarray(w)
+    return w.reshape(w.shape[0], w.shape[1]).T
+
+
+def t_patch_conv(w):
+    """CogVideoX patch_embed Conv2d [D, C, p, p] -> Dense [p*p*C, D].
+
+    Our DiT flattens patches in (p_h, p_w, C) order (models/cogvideox.py),
+    so the conv kernel transposes to HWIO then flattens its input dims.
+    """
+    w = np.asarray(w)
+    D = w.shape[0]
+    return w.transpose(2, 3, 1, 0).reshape(-1, D)
+
+
 # ----------------------------------------------------------------------
 # UNetMotion mapping
 # ----------------------------------------------------------------------
@@ -362,6 +382,316 @@ def t5_encoder_rules(config) -> Dict[str, Tuple[str, Callable]]:
             rules[f"{lp}/{ff}/kernel"] = (
                 f"{hb}.layer.1.DenseReluDense.{ff}.weight", t_dense,
             )
+    return rules
+
+
+# ----------------------------------------------------------------------
+# SVD UNetSpatioTemporal mapping
+# (diffusers UNetSpatioTemporalConditionModel key space; capability target
+#  BASELINE.json configs[2], SURVEY.md §2b "Rebuild as")
+# ----------------------------------------------------------------------
+
+
+def _svd_res_rules(prefix: str, hf_prefix: str):
+    """SpatioTemporalResBlock: spatial resnet + temporal 3x1x1 resnet + mixer."""
+    rules = _resnet_rules(f"{prefix}/spatial", f"{hf_prefix}.spatial_res_block")
+    for ours, theirs, tr in [
+        ("tnorm1/scale", "temporal_res_block.norm1.weight", t_id),
+        ("tnorm1/bias", "temporal_res_block.norm1.bias", t_id),
+        ("tconv1/kernel", "temporal_res_block.conv1.weight", t_conv3d),
+        ("tconv1/bias", "temporal_res_block.conv1.bias", t_id),
+        ("ttime_emb_proj/kernel", "temporal_res_block.time_emb_proj.weight", t_dense),
+        ("ttime_emb_proj/bias", "temporal_res_block.time_emb_proj.bias", t_id),
+        ("tnorm2/scale", "temporal_res_block.norm2.weight", t_id),
+        ("tnorm2/bias", "temporal_res_block.norm2.bias", t_id),
+        ("tconv2/kernel", "temporal_res_block.conv2.weight", t_conv3d),
+        ("tconv2/bias", "temporal_res_block.conv2.bias", t_id),
+        ("mix/mix_factor", "time_mixer.mix_factor", t_id),
+    ]:
+        rules[f"{prefix}/{ours}"] = (f"{hf_prefix}.{theirs}", tr)
+    return rules
+
+
+def _svd_attn_rules(prefix: str, hf_prefix: str):
+    """TransformerSpatioTemporal: spatial + temporal transformer pair."""
+    rules = {
+        f"{prefix}/norm/scale": (f"{hf_prefix}.norm.weight", t_id),
+        f"{prefix}/norm/bias": (f"{hf_prefix}.norm.bias", t_id),
+        f"{prefix}/proj_in/kernel": (f"{hf_prefix}.proj_in.weight", t_dense),
+        f"{prefix}/proj_in/bias": (f"{hf_prefix}.proj_in.bias", t_id),
+        f"{prefix}/proj_out/kernel": (f"{hf_prefix}.proj_out.weight", t_dense),
+        f"{prefix}/proj_out/bias": (f"{hf_prefix}.proj_out.bias", t_id),
+        f"{prefix}/mix/mix_factor": (f"{hf_prefix}.time_mixer.mix_factor", t_id),
+    }
+    rules.update(_transformer_block_rules(
+        f"{prefix}/spatial_block", f"{hf_prefix}.transformer_blocks.0"))
+    rules.update(_transformer_block_rules(
+        f"{prefix}/temporal_block", f"{hf_prefix}.temporal_transformer_blocks.0"))
+    return rules
+
+
+def svd_unet_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our UNetSpatioTemporal param path -> diffusers SVD UNet key."""
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/kernel": ("conv_in.weight", t_conv),
+        "conv_in/bias": ("conv_in.bias", t_id),
+        "conv_norm_out/scale": ("conv_norm_out.weight", t_id),
+        "conv_norm_out/bias": ("conv_norm_out.bias", t_id),
+        "conv_out/kernel": ("conv_out.weight", t_conv),
+        "conv_out/bias": ("conv_out.bias", t_id),
+    }
+    for ours, theirs in [("time_embedding", "time_embedding"),
+                         ("add_embedding", "add_embedding")]:
+        for i in (1, 2):
+            rules[f"{ours}/linear_{i}/kernel"] = (f"{theirs}.linear_{i}.weight", t_dense)
+            rules[f"{ours}/linear_{i}/bias"] = (f"{theirs}.linear_{i}.bias", t_id)
+    n = len(config.block_out_channels)
+    L = config.layers_per_block
+    for bi in range(n):
+        for li in range(L):
+            rules.update(_svd_res_rules(
+                f"down_{bi}_{li}_res", f"down_blocks.{bi}.resnets.{li}"))
+            if config.down_block_has_attn[bi]:
+                rules.update(_svd_attn_rules(
+                    f"down_{bi}_{li}_attn", f"down_blocks.{bi}.attentions.{li}"))
+        if bi < n - 1:
+            rules[f"down_{bi}_downsample/conv/kernel"] = (
+                f"down_blocks.{bi}.downsamplers.0.conv.weight", t_conv)
+            rules[f"down_{bi}_downsample/conv/bias"] = (
+                f"down_blocks.{bi}.downsamplers.0.conv.bias", t_id)
+    rules.update(_svd_res_rules("mid_0_res", "mid_block.resnets.0"))
+    rules.update(_svd_attn_rules("mid_0_attn", "mid_block.attentions.0"))
+    rules.update(_svd_res_rules("mid_res_1", "mid_block.resnets.1"))
+    for bi in range(n):
+        for li in range(L + 1):
+            rules.update(_svd_res_rules(
+                f"up_{bi}_{li}_res", f"up_blocks.{bi}.resnets.{li}"))
+            if config.up_block_has_attn[bi]:
+                rules.update(_svd_attn_rules(
+                    f"up_{bi}_{li}_attn", f"up_blocks.{bi}.attentions.{li}"))
+        if bi < n - 1:
+            rules[f"up_{bi}_upsample/conv/kernel"] = (
+                f"up_blocks.{bi}.upsamplers.0.conv.weight", t_conv)
+            rules[f"up_{bi}_upsample/conv/bias"] = (
+                f"up_blocks.{bi}.upsamplers.0.conv.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# SVD TemporalDecoder mapping (diffusers AutoencoderKLTemporalDecoder)
+# ----------------------------------------------------------------------
+
+
+def _tdec_res_rules(prefix: str, hf_prefix: str):
+    """_DecoderSTResBlock: spatial resnet (no temb) + temporal resnet + mixer."""
+    rules = {}
+    for ours, theirs, tr in [
+        ("spatial/norm1/scale", "spatial_res_block.norm1.weight", t_id),
+        ("spatial/norm1/bias", "spatial_res_block.norm1.bias", t_id),
+        ("spatial/conv1/kernel", "spatial_res_block.conv1.weight", t_conv),
+        ("spatial/conv1/bias", "spatial_res_block.conv1.bias", t_id),
+        ("spatial/norm2/scale", "spatial_res_block.norm2.weight", t_id),
+        ("spatial/norm2/bias", "spatial_res_block.norm2.bias", t_id),
+        ("spatial/conv2/kernel", "spatial_res_block.conv2.weight", t_conv),
+        ("spatial/conv2/bias", "spatial_res_block.conv2.bias", t_id),
+        ("spatial/conv_shortcut/kernel", "spatial_res_block.conv_shortcut.weight", t_conv),
+        ("spatial/conv_shortcut/bias", "spatial_res_block.conv_shortcut.bias", t_id),
+        ("tnorm1/scale", "temporal_res_block.norm1.weight", t_id),
+        ("tnorm1/bias", "temporal_res_block.norm1.bias", t_id),
+        ("tconv1/kernel", "temporal_res_block.conv1.weight", t_conv3d),
+        ("tconv1/bias", "temporal_res_block.conv1.bias", t_id),
+        ("tnorm2/scale", "temporal_res_block.norm2.weight", t_id),
+        ("tnorm2/bias", "temporal_res_block.norm2.bias", t_id),
+        ("tconv2/kernel", "temporal_res_block.conv2.weight", t_conv3d),
+        ("tconv2/bias", "temporal_res_block.conv2.bias", t_id),
+        ("mix_factor", "time_mixer.mix_factor", t_id),
+    ]:
+        rules[f"{prefix}/{ours}"] = (f"{hf_prefix}.{theirs}", tr)
+    return rules
+
+
+def temporal_decoder_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our TemporalDecoder param path -> diffusers temporal-decoder key."""
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/kernel": ("decoder.conv_in.weight", t_conv),
+        "conv_in/bias": ("decoder.conv_in.bias", t_id),
+        "conv_norm_out/scale": ("decoder.conv_norm_out.weight", t_id),
+        "conv_norm_out/bias": ("decoder.conv_norm_out.bias", t_id),
+        "conv_out/kernel": ("decoder.conv_out.weight", t_conv),
+        "conv_out/bias": ("decoder.conv_out.bias", t_id),
+        "time_conv_out/kernel": ("decoder.time_conv_out.weight", t_conv3d),
+        "time_conv_out/bias": ("decoder.time_conv_out.bias", t_id),
+    }
+    rules.update(_tdec_res_rules("mid_resnet_0", "decoder.mid_block.resnets.0"))
+    rules.update(_tdec_res_rules("mid_resnet_1", "decoder.mid_block.resnets.1"))
+    rules.update(_vae_attn_rules("mid_attn", "decoder.mid_block.attentions.0"))
+    n = len(config.block_out_channels)
+    for bi in range(n):
+        for li in range(config.layers_per_block + 1):
+            rules.update(_tdec_res_rules(
+                f"up_{bi}_{li}", f"decoder.up_blocks.{bi}.resnets.{li}"))
+        if bi < n - 1:
+            rules[f"up_{bi}_upsample/conv/kernel"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.weight", t_conv)
+            rules[f"up_{bi}_upsample/conv/bias"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# CLIP vision tower mapping (transformers CLIPVisionModelWithProjection)
+# ----------------------------------------------------------------------
+
+
+def clip_vision_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    V = "vision_model"
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "patch_embed/kernel": (f"{V}.embeddings.patch_embedding.weight", t_conv),
+        "class_embedding": (f"{V}.embeddings.class_embedding", t_id),
+        "position_embedding": (f"{V}.embeddings.position_embedding.weight", t_id),
+        # transformers' historical key spelling is "pre_layrnorm"
+        "pre_ln/scale": (f"{V}.pre_layrnorm.weight", t_id),
+        "pre_ln/bias": (f"{V}.pre_layrnorm.bias", t_id),
+        "post_ln/scale": (f"{V}.post_layernorm.weight", t_id),
+        "post_ln/bias": (f"{V}.post_layernorm.bias", t_id),
+        "visual_projection/kernel": ("visual_projection.weight", t_dense),
+    }
+    for i in range(config.num_layers):
+        lp, hp = f"layers_{i}", f"{V}.encoder.layers.{i}"
+        rules[f"{lp}/ln1/scale"] = (f"{hp}.layer_norm1.weight", t_id)
+        rules[f"{lp}/ln1/bias"] = (f"{hp}.layer_norm1.bias", t_id)
+        rules[f"{lp}/ln2/scale"] = (f"{hp}.layer_norm2.weight", t_id)
+        rules[f"{lp}/ln2/bias"] = (f"{hp}.layer_norm2.bias", t_id)
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            rules[f"{lp}/{proj}/kernel"] = (f"{hp}.self_attn.{proj}.weight", t_dense)
+            rules[f"{lp}/{proj}/bias"] = (f"{hp}.self_attn.{proj}.bias", t_id)
+        for fc in ("fc1", "fc2"):
+            rules[f"{lp}/{fc}/kernel"] = (f"{hp}.mlp.{fc}.weight", t_dense)
+            rules[f"{lp}/{fc}/bias"] = (f"{hp}.mlp.{fc}.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# CogVideoX DiT mapping (diffusers CogVideoXTransformer3DModel)
+# ----------------------------------------------------------------------
+
+
+def cogvideox_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "patch_embed/kernel": ("patch_embed.proj.weight", t_patch_conv),
+        "patch_embed/bias": ("patch_embed.proj.bias", t_id),
+        "text_proj/kernel": ("patch_embed.text_proj.weight", t_dense),
+        "text_proj/bias": ("patch_embed.text_proj.bias", t_id),
+        "time_embedding/linear_1/kernel": ("time_embedding.linear_1.weight", t_dense),
+        "time_embedding/linear_1/bias": ("time_embedding.linear_1.bias", t_id),
+        "time_embedding/linear_2/kernel": ("time_embedding.linear_2.weight", t_dense),
+        "time_embedding/linear_2/bias": ("time_embedding.linear_2.bias", t_id),
+        "final_norm/scale": ("norm_final.weight", t_id),
+        "final_norm/bias": ("norm_final.bias", t_id),
+        "norm_out_linear/kernel": ("norm_out.linear.weight", t_dense),
+        "norm_out_linear/bias": ("norm_out.linear.bias", t_id),
+        "norm_out/scale": ("norm_out.norm.weight", t_id),
+        "norm_out/bias": ("norm_out.norm.bias", t_id),
+        "final_proj/kernel": ("proj_out.weight", t_dense),
+        "final_proj/bias": ("proj_out.bias", t_id),
+    }
+    for i in range(config.depth):
+        bp, hp = f"blocks_{i}", f"transformer_blocks.{i}"
+        for nz in ("norm1", "norm2"):
+            rules[f"{bp}/{nz}/linear/kernel"] = (f"{hp}.{nz}.linear.weight", t_dense)
+            rules[f"{bp}/{nz}/linear/bias"] = (f"{hp}.{nz}.linear.bias", t_id)
+            rules[f"{bp}/{nz}/norm/scale"] = (f"{hp}.{nz}.norm.weight", t_id)
+            rules[f"{bp}/{nz}/norm/bias"] = (f"{hp}.{nz}.norm.bias", t_id)
+        for proj in ("to_q", "to_k", "to_v"):
+            rules[f"{bp}/attn/{proj}/kernel"] = (f"{hp}.attn1.{proj}.weight", t_dense)
+            rules[f"{bp}/attn/{proj}/bias"] = (f"{hp}.attn1.{proj}.bias", t_id)
+        rules[f"{bp}/attn/to_out/kernel"] = (f"{hp}.attn1.to_out.0.weight", t_dense)
+        rules[f"{bp}/attn/to_out/bias"] = (f"{hp}.attn1.to_out.0.bias", t_id)
+        for qk in ("norm_q", "norm_k"):
+            rules[f"{bp}/attn/{qk}/scale"] = (f"{hp}.attn1.{qk}.weight", t_id)
+            rules[f"{bp}/attn/{qk}/bias"] = (f"{hp}.attn1.{qk}.bias", t_id)
+        rules[f"{bp}/ff_in/kernel"] = (f"{hp}.ff.net.0.proj.weight", t_dense)
+        rules[f"{bp}/ff_in/bias"] = (f"{hp}.ff.net.0.proj.bias", t_id)
+        rules[f"{bp}/ff_out/kernel"] = (f"{hp}.ff.net.2.weight", t_dense)
+        rules[f"{bp}/ff_out/bias"] = (f"{hp}.ff.net.2.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# CogVideoX 3D causal VAE mapping (diffusers AutoencoderKLCogVideoX)
+# ----------------------------------------------------------------------
+
+
+def _causal_res_rules(prefix: str, hf_prefix: str):
+    rules = {}
+    for ours, theirs, tr in [
+        ("norm1/scale", "norm1.weight", t_id),
+        ("norm1/bias", "norm1.bias", t_id),
+        ("conv1/conv/kernel", "conv1.conv.weight", t_conv3d),
+        ("conv1/conv/bias", "conv1.conv.bias", t_id),
+        ("norm2/scale", "norm2.weight", t_id),
+        ("norm2/bias", "norm2.bias", t_id),
+        ("conv2/conv/kernel", "conv2.conv.weight", t_conv3d),
+        ("conv2/conv/bias", "conv2.conv.bias", t_id),
+        ("shortcut/kernel", "conv_shortcut.weight", t_conv3d_1x1_dense),
+        ("shortcut/bias", "conv_shortcut.bias", t_id),
+    ]:
+        rules[f"{prefix}/{ours}"] = (f"{hf_prefix}.{theirs}", tr)
+    return rules
+
+
+def causal_vae_encoder_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/conv/kernel": ("encoder.conv_in.conv.weight", t_conv3d),
+        "conv_in/conv/bias": ("encoder.conv_in.conv.bias", t_id),
+        "norm_out/scale": ("encoder.norm_out.weight", t_id),
+        "norm_out/bias": ("encoder.norm_out.bias", t_id),
+        "conv_out/conv/kernel": ("encoder.conv_out.conv.weight", t_conv3d),
+        "conv_out/conv/bias": ("encoder.conv_out.conv.bias", t_id),
+    }
+    n = len(config.block_out_channels)
+    for bi in range(n):
+        for li in range(config.layers_per_block):
+            rules.update(_causal_res_rules(
+                f"down_{bi}_{li}", f"encoder.down_blocks.{bi}.resnets.{li}"))
+        if bi < n - 1:
+            rules[f"down_{bi}_ds/conv/kernel"] = (
+                f"encoder.down_blocks.{bi}.downsamplers.0.conv.weight", t_conv3d)
+            rules[f"down_{bi}_ds/conv/bias"] = (
+                f"encoder.down_blocks.{bi}.downsamplers.0.conv.bias", t_id)
+    rules.update(_causal_res_rules("mid_0", "encoder.mid_block.resnets.0"))
+    rules.update(_causal_res_rules("mid_1", "encoder.mid_block.resnets.1"))
+    return rules
+
+
+def causal_vae_decoder_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Decoder rules.
+
+    Known simplification: diffusers' decoder norms are latent-conditioned
+    CogVideoXSpatialNorm3D; ours are plain GroupNorm mapped to each spatial
+    norm's ``norm_layer`` — the conditioning convs stay unused and are
+    listed in the conversion report.
+    """
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/conv/kernel": ("decoder.conv_in.conv.weight", t_conv3d),
+        "conv_in/conv/bias": ("decoder.conv_in.conv.bias", t_id),
+        "norm_out/scale": ("decoder.norm_out.norm_layer.weight", t_id),
+        "norm_out/bias": ("decoder.norm_out.norm_layer.bias", t_id),
+        "conv_out/conv/kernel": ("decoder.conv_out.conv.weight", t_conv3d),
+        "conv_out/conv/bias": ("decoder.conv_out.conv.bias", t_id),
+    }
+    rules.update(_causal_res_rules("mid_0", "decoder.mid_block.resnets.0"))
+    rules.update(_causal_res_rules("mid_1", "decoder.mid_block.resnets.1"))
+    n = len(config.block_out_channels)
+    for bi in range(n):
+        for li in range(config.layers_per_block + 1):
+            rules.update(_causal_res_rules(
+                f"up_{bi}_{li}", f"decoder.up_blocks.{bi}.resnets.{li}"))
+        if bi < n - 1:
+            rules[f"up_{bi}_us/conv/kernel"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.weight", t_conv3d)
+            rules[f"up_{bi}_us/conv/bias"] = (
+                f"decoder.up_blocks.{bi}.upsamplers.0.conv.bias", t_id)
     return rules
 
 

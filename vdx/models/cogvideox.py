@@ -27,9 +27,13 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
-from vdx.models.dit import AdaLNModulation, _modulate
 from vdx.nn.attention import Attention
-from vdx.nn.embeddings import get_timestep_embedding, sinusoidal_positional_encoding
+from vdx.nn.embeddings import (
+    TimestepEmbedding,
+    get_timestep_embedding,
+    rope_3d,
+    sinusoidal_positional_encoding,
+)
 from vdx.nn.resnet import GroupNormModule
 
 
@@ -49,15 +53,52 @@ class CogVideoXConfig:
     text_dim: int = 4096
     max_text_len: int = 226
     mlp_ratio: int = 4
+    time_embed_dim: int = 512
+    # 3D rotary positional embedding over the (F, h, w) video token grid
+    # (CogVideoX-1.5/5B); False selects the factorised sinusoidal PE the
+    # 2B checkpoint trains with.
+    use_rotary: bool = True
 
     @classmethod
     def b2(cls) -> "CogVideoXConfig":
-        return cls()
+        return cls(use_rotary=False)
+
+    @classmethod
+    def v1_5(cls) -> "CogVideoXConfig":
+        return cls(hidden_size=3072, depth=42, num_heads=48, use_rotary=True)
 
     @classmethod
     def tiny(cls) -> "CogVideoXConfig":
         return cls(hidden_size=64, depth=2, num_heads=2, text_dim=64,
                    max_text_len=8)
+
+
+class CogVideoXLayerNormZero(nn.Module):
+    """adaLN-zero producing (vid, txt, gate_vid, gate_txt) from the cond.
+
+    One SiLU+Linear emits 6 chunks (shift/scale/gate for the video segment,
+    then for the text segment); a SHARED affine LayerNorm normalises both —
+    the CogVideoX 'expert adaLN' structure, kept layout-identical so the
+    checkpoint's norm1/norm2 linears convert directly (core/convert.py).
+    """
+
+    dim: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, vid, txt, c):
+        h = nn.silu(c.astype(jnp.float32)).astype(self.policy.compute_dtype)
+        mod = nn.Dense(
+            6 * self.dim, kernel_init=nn.initializers.zeros,
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="linear",
+        )(h)[:, None, :]
+        shift, scale, gate, e_shift, e_scale, e_gate = jnp.split(mod, 6, axis=-1)
+        ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                          param_dtype=self.policy.param_dtype, name="norm")
+        vid = (ln(vid) * (1.0 + scale) + shift).astype(mod.dtype)
+        txt = (ln(txt) * (1.0 + e_scale) + e_shift).astype(mod.dtype)
+        return vid, txt, gate, e_gate
 
 
 class CogVideoXBlock(nn.Module):
@@ -68,37 +109,34 @@ class CogVideoXBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, vid, txt, c):
+    def __call__(self, vid, txt, c, rope=None):
         cfg = self.config
         D = cfg.hidden_size
         head_dim = D // cfg.num_heads
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=1e-5, use_bias=False, use_scale=False, dtype=jnp.float32,
-            name=name)
+        S_txt = txt.shape[1]
 
-        sv_a, gv_a, sv_m, gv_m = AdaLNModulation(D, 4, self.policy, name="adaln_vid")(c)
-        st_a, gt_a, st_m, gt_m = AdaLNModulation(D, 4, self.policy, name="adaln_txt")(c)
-
-        hv = _modulate(ln("norm1_vid")(vid).astype(vid.dtype), sv_a, 0.0)
-        ht = _modulate(ln("norm1_txt")(txt).astype(txt.dtype), st_a, 0.0)
+        hv, ht, gate, e_gate = CogVideoXLayerNormZero(
+            D, self.policy, name="norm1")(vid, txt, c)
         joint = jnp.concatenate([ht, hv], axis=1)
-        out = Attention(D, cfg.num_heads, head_dim, policy=self.policy,
-                        attn_impl=self.attn_impl, name="attn")(joint)
-        to, vo = out[:, : txt.shape[1]], out[:, txt.shape[1]:]
-        vid = vid + (1.0 + gv_a) * vo
-        txt = txt + (1.0 + gt_a) * to
+        # CogVideoX attention: biased qkv + per-head LayerNorm on q/k; the
+        # rope tables carry identity rows for the text segment.
+        out = Attention(D, cfg.num_heads, head_dim, qkv_bias=True,
+                        qk_norm=True, policy=self.policy,
+                        attn_impl=self.attn_impl, name="attn")(joint, rope=rope)
+        vid = vid + gate * out[:, S_txt:]
+        txt = txt + e_gate * out[:, :S_txt]
 
-        hv = _modulate(ln("norm2_vid")(vid).astype(vid.dtype), sv_m, 0.0)
-        ht = _modulate(ln("norm2_txt")(txt).astype(txt.dtype), st_m, 0.0)
-        mlp = lambda name: nn.Sequential([  # noqa: E731
-            nn.Dense(D * cfg.mlp_ratio, dtype=self.policy.compute_dtype,
-                     param_dtype=self.policy.param_dtype),
-            lambda x: nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype),
-            nn.Dense(D, dtype=self.policy.compute_dtype,
-                     param_dtype=self.policy.param_dtype),
-        ], name=name)
-        vid = vid + (1.0 + gv_m) * mlp("mlp_vid")(hv)
-        txt = txt + (1.0 + gt_m) * mlp("mlp_txt")(ht)
+        hv, ht, gate, e_gate = CogVideoXLayerNormZero(
+            D, self.policy, name="norm2")(vid, txt, c)
+        # ONE shared feed-forward over the joint sequence (gelu-approximate)
+        h = jnp.concatenate([ht, hv], axis=1)
+        h = nn.Dense(D * cfg.mlp_ratio, dtype=self.policy.compute_dtype,
+                     param_dtype=self.policy.param_dtype, name="ff_in")(h)
+        h = nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+        h = nn.Dense(D, dtype=self.policy.compute_dtype,
+                     param_dtype=self.policy.param_dtype, name="ff_out")(h)
+        vid = vid + gate * h[:, S_txt:]
+        txt = txt + e_gate * h[:, :S_txt]
         return vid, txt
 
 
@@ -126,32 +164,45 @@ class CogVideoXDiT(nn.Module):
         x = x.reshape(B, N, p * p * C)
         vid = nn.Dense(D, dtype=self.policy.compute_dtype,
                        param_dtype=self.policy.param_dtype, name="patch_embed")(x)
-        # factorised 3D positional encoding: frame PE + spatial PE summed
-        pos_s = sinusoidal_positional_encoding(hp * wp, D).astype(vid.dtype)
-        pos_t = sinusoidal_positional_encoding(F, D).astype(vid.dtype)
-        pos = (pos_t[:, None, :] + pos_s[None, :, :]).reshape(N, D)
-        vid = vid + pos[None]
+        rope = None
+        if cfg.use_rotary:
+            # 3D RoPE over the (F, hp, wp) grid, identity on text tokens
+            head_dim = D // cfg.num_heads
+            rope = rope_3d(F, hp, wp, head_dim, text_len=text_states.shape[1])
+        else:
+            # factorised 3D positional encoding: frame PE + spatial PE summed
+            pos_s = sinusoidal_positional_encoding(hp * wp, D).astype(vid.dtype)
+            pos_t = sinusoidal_positional_encoding(F, D).astype(vid.dtype)
+            pos = (pos_t[:, None, :] + pos_s[None, :, :]).reshape(N, D)
+            vid = vid + pos[None]
 
         txt = nn.Dense(D, dtype=self.policy.compute_dtype,
                        param_dtype=self.policy.param_dtype, name="text_proj")(
             text_states.astype(self.policy.compute_dtype))
 
+        # sinusoid at model width, MLP down to the adaLN conditioning width
         t = jnp.broadcast_to(jnp.atleast_1d(timestep), (B,))
-        c = get_timestep_embedding(t, 256).astype(self.policy.compute_dtype)
-        c = nn.Dense(D, dtype=self.policy.compute_dtype,
-                     param_dtype=self.policy.param_dtype, name="t_proj_1")(c)
-        c = nn.silu(c.astype(jnp.float32)).astype(self.policy.compute_dtype)
-        c = nn.Dense(D, dtype=self.policy.compute_dtype,
-                     param_dtype=self.policy.param_dtype, name="t_proj_2")(c)
+        c = get_timestep_embedding(t, D).astype(self.policy.compute_dtype)
+        c = TimestepEmbedding(cfg.time_embed_dim, policy=self.policy,
+                              name="time_embedding")(c)
 
         for i in range(cfg.depth):
             vid, txt = CogVideoXBlock(cfg, self.policy, self.attn_impl,
-                                      name=f"blocks_{i}")(vid, txt, c)
+                                      name=f"blocks_{i}")(vid, txt, c, rope=rope)
 
-        shift, scale = AdaLNModulation(D, 2, self.policy, name="final_adaln")(c)
-        ln_f = nn.LayerNorm(epsilon=1e-5, use_bias=False, use_scale=False,
-                            dtype=jnp.float32, name="final_norm")
-        vid = _modulate(ln_f(vid).astype(vid.dtype), shift, scale)
+        # final LN over the JOINT sequence, then adaLN on the video part
+        ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=self.policy.param_dtype, name="final_norm")
+        joint = ln_f(jnp.concatenate([txt, vid], axis=1)).astype(vid.dtype)
+        vid = joint[:, txt.shape[1]:]
+        h = nn.silu(c.astype(jnp.float32)).astype(self.policy.compute_dtype)
+        mod = nn.Dense(2 * D, dtype=self.policy.compute_dtype,
+                       param_dtype=self.policy.param_dtype,
+                       name="norm_out_linear")(h)[:, None, :]
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        ln_o = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=self.policy.param_dtype, name="norm_out")
+        vid = (ln_o(vid) * (1.0 + scale) + shift).astype(mod.dtype)
         vid = nn.Dense(p * p * cfg.out_channels, kernel_init=nn.initializers.zeros,
                        dtype=self.policy.compute_dtype,
                        param_dtype=self.policy.param_dtype, name="final_proj")(vid)
@@ -252,6 +303,8 @@ class CausalVAEEncoder(nn.Module):
                 ts = 2 if cfg.temporal_downsample[bi] else 1
                 x = CausalConv3d(ch, kernel=(3, 3, 3), strides=(ts, 2, 2),
                                  policy=self.policy, name=f"down_{bi}_ds")(x)
+        x = CausalResBlock3D(x.shape[-1], policy=self.policy, name="mid_0")(x)
+        x = CausalResBlock3D(x.shape[-1], policy=self.policy, name="mid_1")(x)
         x = GroupNormModule(32 if x.shape[-1] % 32 == 0 else 8, 1e-6, self.policy,
                             with_silu=True, name="norm_out")(x)
         x = CausalConv3d(2 * cfg.latent_channels, policy=self.policy,
@@ -268,11 +321,13 @@ class CausalVAEDecoder(nn.Module):
         cfg = self.config
         x = CausalConv3d(cfg.block_out_channels[-1], policy=self.policy,
                          name="conv_in")(z.astype(self.policy.compute_dtype))
+        x = CausalResBlock3D(x.shape[-1], policy=self.policy, name="mid_0")(x)
+        x = CausalResBlock3D(x.shape[-1], policy=self.policy, name="mid_1")(x)
         rev = tuple(reversed(cfg.block_out_channels))
         rev_td = tuple(reversed(cfg.temporal_downsample))
         n = len(rev)
         for bi, ch in enumerate(rev):
-            for li in range(cfg.layers_per_block):
+            for li in range(cfg.layers_per_block + 1):
                 x = CausalResBlock3D(ch, policy=self.policy, name=f"up_{bi}_{li}")(x)
             if bi < n - 1:
                 B, F, H, W, C = x.shape

@@ -198,14 +198,59 @@ class AutoencoderKL(nn.Module):
         return self.decode(self.encode(x))
 
 
+class _DecoderSTResBlock(nn.Module):
+    """Spatio-temporal resblock for the SVD temporal decoder.
+
+    Spatial ResnetBlock2D (eps 1e-6, no time emb) -> temporal 3x1x1 resblock
+    (eps 1e-5) -> learned sigmoid blend with the spatial-to-temporal switch
+    (the decoder passes switch_spatial_to_temporal_mix=True in diffusers'
+    AutoencoderKLTemporalDecoder; capability target BASELINE.json configs[2]).
+    """
+
+    out_channels: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        s = ResnetBlock2D(
+            self.out_channels, use_time_emb=False, eps=1e-6, policy=self.policy,
+            name="spatial",
+        )(x)
+        BF, H, W, C = s.shape
+        B = BF // num_frames
+        groups = 32 if C % 32 == 0 else min(C, 8)
+        h = s.reshape(B, num_frames, H, W, C)
+        t = GroupNormModule(groups, 1e-5, self.policy, with_silu=True, name="tnorm1")(h)
+        t = nn.Conv(
+            C, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="tconv1",
+        )(t)
+        t = GroupNormModule(groups, 1e-5, self.policy, with_silu=True, name="tnorm2")(t)
+        t = nn.Conv(
+            C, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="tconv2",
+        )(t)
+        t = (h + t).reshape(BF, H, W, C)
+        # learned blend, switched: alpha weights the TEMPORAL branch here
+        mix = self.param("mix_factor", nn.initializers.zeros, (1,), jnp.float32)
+        alpha = nn.sigmoid(mix)[0]
+        out = (
+            (1.0 - alpha) * s.astype(jnp.float32) + alpha * t.astype(jnp.float32)
+        )
+        return out.astype(s.dtype)
+
+
 class TemporalDecoder(nn.Module):
-    """SVD-style video decoder: spatial decode + temporal output conv.
+    """SVD video decoder — spatio-temporal resblocks throughout.
 
     Stable Video Diffusion decodes with temporal mixing so frame-wise VAE
     noise doesn't flicker (BASELINE.json configs[2] "temporal VAE decode").
-    This implements the output-stage temporal conv (3x1x1 over frames) on
-    top of the spatial decoder; interior temporal resblocks can be layered
-    in without changing the interface.
+    Structure mirrors diffusers' TemporalDecoder: conv_in -> mid
+    (ST-resnet, single-head attention, ST-resnet) -> up blocks of
+    (layers_per_block + 1) ST-resnets with upsamplers -> GN-SiLU ->
+    conv_out -> temporal 3x1x1 output conv over frames.
     """
 
     config: VAEConfig = VAEConfig()
@@ -214,19 +259,49 @@ class TemporalDecoder(nn.Module):
     @nn.compact
     def __call__(self, z: jnp.ndarray, num_frames: int) -> jnp.ndarray:
         """[B*F, h, w, 4] pre-scaled latents -> [B*F, H, W, 3] in [-1, 1]."""
-        x = Decoder(self.config, self.policy, name="decoder")(
-            z / self.config.scaling_factor
+        cfg = self.config
+        z = (z / cfg.scaling_factor).astype(self.policy.compute_dtype)
+        x = nn.Conv(
+            cfg.block_out_channels[-1], (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="conv_in",
+        )(z)
+
+        ch = cfg.block_out_channels[-1]
+        x = _DecoderSTResBlock(ch, policy=self.policy, name="mid_resnet_0")(
+            x, num_frames
         )
+        x = VAEAttention(policy=self.policy, name="mid_attn")(x)
+        x = _DecoderSTResBlock(ch, policy=self.policy, name="mid_resnet_1")(
+            x, num_frames
+        )
+
+        rev = tuple(reversed(cfg.block_out_channels))
+        n = len(rev)
+        for bi, ch in enumerate(rev):
+            for li in range(cfg.layers_per_block + 1):
+                x = _DecoderSTResBlock(
+                    ch, policy=self.policy, name=f"up_{bi}_{li}"
+                )(x, num_frames)
+            if bi < n - 1:
+                x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)
+
+        x = GroupNormModule(32, 1e-6, self.policy, with_silu=True,
+                            name="conv_norm_out")(x)
+        x = nn.Conv(
+            cfg.in_channels, (3, 3), padding=[(1, 1), (1, 1)],
+            dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
+            name="conv_out",
+        )(x)
         BF, H, W, C = x.shape
         B = BF // num_frames
         h = x.reshape(B, num_frames, H, W, C)
         h = nn.Conv(
             C, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
             dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
-            kernel_init=nn.initializers.zeros, name="time_conv_out",
-        )(h.astype(self.policy.compute_dtype))
-        x = x + self.policy.cast_to_output(h.reshape(BF, H, W, C))
-        return x
+            name="time_conv_out",
+        )(h)
+        return self.policy.cast_to_output(h.reshape(BF, H, W, C))
 
 
 def decode_frames_tiled(vae: AutoencoderKL, params, latents: jnp.ndarray, chunk: int = 4):

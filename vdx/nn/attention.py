@@ -19,12 +19,32 @@ from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.ops.attention import dot_product_attention
 
 
+def apply_rope(x: jnp.ndarray, rope: tuple) -> jnp.ndarray:
+    """Rotate q/k [B, S, H, D] by interleaved-pair RoPE (cos, sin) [S, D/2].
+
+    Pairs (x[2i], x[2i+1]) rotate by the i-th angle — the convention
+    CogVideoX's 3D rotary embedding uses (nn/embeddings.rope_3d).
+    """
+    cos, sin = rope
+    orig = x.dtype
+    xf = x.astype(jnp.float32)
+    x0 = xf[..., 0::2]
+    x1 = xf[..., 1::2]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    r0 = x0 * c - x1 * s
+    r1 = x1 * c + x0 * s
+    return jnp.stack([r0, r1], axis=-1).reshape(x.shape).astype(orig)
+
+
 class Attention(nn.Module):
     query_dim: int
     heads: int = 8
     head_dim: int = 64
     context_dim: Optional[int] = None  # None => self-attention
     out_bias: bool = True
+    qkv_bias: bool = False  # CogVideoX-style projections carry bias
+    qk_norm: bool = False  # per-head LayerNorm on q/k (CogVideoX)
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
     # Pyramid-Attention-Broadcast participation (arXiv:2408.12588-style
@@ -41,12 +61,13 @@ class Attention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         refresh=None,
+        rope: Optional[tuple] = None,  # (cos, sin) [S, head_dim/2]
     ) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         ctx = x if context is None else context
         dense = lambda feats, name: nn.Dense(  # noqa: E731
             feats,
-            use_bias=False,
+            use_bias=self.qkv_bias,
             dtype=self.policy.compute_dtype,
             param_dtype=self.policy.param_dtype,
             name=name,
@@ -61,6 +82,16 @@ class Attention(nn.Module):
             q = q.reshape(B, Sq, self.heads, self.head_dim)
             k = k.reshape(B, Skv, self.heads, self.head_dim)
             v = v.reshape(B, Skv, self.heads, self.head_dim)
+            if self.qk_norm:
+                ln = lambda name: nn.LayerNorm(  # noqa: E731
+                    epsilon=1e-6, dtype=jnp.float32,
+                    param_dtype=self.policy.param_dtype, name=name,
+                )
+                q = ln("norm_q")(q).astype(v.dtype)
+                k = ln("norm_k")(k).astype(v.dtype)
+            if rope is not None:
+                q = apply_rope(q, rope)
+                k = apply_rope(k, rope)
             out = dot_product_attention(
                 q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl
             )

@@ -53,6 +53,49 @@ def sinusoidal_positional_encoding(seq_len: int, dim: int) -> jnp.ndarray:
     return pe
 
 
+def rope_3d(
+    frames: int,
+    height: int,
+    width: int,
+    head_dim: int,
+    theta: float = 10000.0,
+    text_len: int = 0,
+):
+    """3D rotary embedding over a (F, H, W) token grid — CogVideoX-style.
+
+    head_dim splits into (t, h, w) sub-bands: t gets head_dim//4, h and w get
+    3*head_dim//8 each (the CogVideoX 1.5 partition). Returns (cos, sin) of
+    shape [text_len + F*H*W, head_dim//2]; the leading ``text_len`` rows are
+    identity (cos=1, sin=0) so the same tables apply across a joint
+    [text ++ video] sequence without masking.
+    """
+    dim_t = head_dim // 4
+    dim_h = head_dim * 3 // 8
+    dim_w = head_dim - dim_t - dim_h
+
+    def axis_angles(n, d):
+        inv = 1.0 / theta ** (jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+        return jnp.arange(n, dtype=jnp.float32)[:, None] * inv[None, :]  # [n, d/2]
+
+    at = axis_angles(frames, dim_t)
+    ah = axis_angles(height, dim_h)
+    aw = axis_angles(width, dim_w)
+    # broadcast each axis' angles over the full grid, concat along sub-bands
+    grid = jnp.concatenate(
+        [
+            jnp.broadcast_to(at[:, None, None, :], (frames, height, width, dim_t // 2)),
+            jnp.broadcast_to(ah[None, :, None, :], (frames, height, width, dim_h // 2)),
+            jnp.broadcast_to(aw[None, None, :, :], (frames, height, width, dim_w // 2)),
+        ],
+        axis=-1,
+    ).reshape(frames * height * width, head_dim // 2)
+    if text_len:
+        grid = jnp.concatenate(
+            [jnp.zeros((text_len, head_dim // 2), jnp.float32), grid], axis=0
+        )
+    return jnp.cos(grid), jnp.sin(grid)
+
+
 class TimestepEmbedding(nn.Module):
     """linear -> SiLU -> linear (320 -> 1280 in SD-1.5)."""
 
