@@ -86,6 +86,48 @@ class TestComprehensive:
             assert (tmp_path / f"{name}.csv").exists()
 
 
+class TestFullTableParity:
+    """Regenerate EVERY 07/08 CSV from the committed oracle JSON and compare
+    against the committed reference CSVs — full-table, float tolerance
+    (reference 07:389-425, 08:505-531)."""
+
+    @pytest.fixture(scope="class")
+    def regenerated(self, reference_root, tmp_path_factory):
+        oracle = reference_root / "outputs/06_grid_search_metrics/grid_search_results.json"
+        if not oracle.exists():
+            pytest.skip("oracle dataset missing")
+        out07 = tmp_path_factory.mktemp("csv07")
+        out08 = tmp_path_factory.mktemp("csv08")
+        basic.save_all_csvs(basic.load_results(oracle), out07)
+        comprehensive.save_all_tables(comprehensive.load_results(oracle), out08)
+        return {"07_grid_search_analysis": out07, "08_comprehensive_analysis": out08}
+
+    @pytest.mark.parametrize(
+        "stage,name",
+        [("07_grid_search_analysis", n) for n in [
+            "all_grid_search_results", "optimal_values_summary",
+            "prompt_improvement_summary"]
+         + [f"{v}_{k}" for v in ["birds_flying", "corgi_beach", "landscape",
+                                 "mig21_missile", "portrait", "woman_waving"]
+            for k in ["cfg_sweep", "steps_sweep", "prompt_comparison"]]]
+        + [("08_comprehensive_analysis", n) for n in [
+            "cfg_agreement", "cfg_detailed", "cfg_summary", "cfg_trends",
+            "prompt_detailed", "prompt_summary", "recommendations",
+            "steps_agreement", "steps_detailed", "steps_summary",
+            "steps_trends"]],
+    )
+    def test_csv_matches_reference(self, regenerated, reference_root, stage, name):
+        committed = reference_root / "outputs" / stage / f"{name}.csv"
+        if not committed.exists():
+            pytest.skip(f"reference missing {name}.csv")
+        ours = regenerated[stage] / f"{name}.csv"
+        assert ours.exists(), f"we did not produce {name}.csv"
+        a = pd.read_csv(committed)
+        b = pd.read_csv(ours)
+        assert list(a.columns) == list(b.columns)
+        pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-4, atol=1e-6)
+
+
 class TestBasic:
     def test_sweeps_complete(self, results_df_07):
         for video in ["portrait", "birds_flying", "landscape"]:

@@ -185,7 +185,11 @@ def save_all_csvs(df: pd.DataFrame, output_dir: Path) -> None:
     ps = generate_prompt_summary(df)
     if not ps.empty:
         ps.to_csv(output_dir / "prompt_improvement_summary.csv", index=False)
-    df.to_csv(output_dir / "all_grid_search_results.csv", index=False)
+    # column order is part of the compatibility contract
+    # (reference outputs/07_grid_search_analysis/all_grid_search_results.csv)
+    lead = ["video_name", "experiment_id"]
+    cols = lead + [c for c in df.columns if c not in lead]
+    df[cols].to_csv(output_dir / "all_grid_search_results.csv", index=False)
 
 
 def main(argv: Optional[list] = None) -> None:

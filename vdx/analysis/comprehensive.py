@@ -37,13 +37,14 @@ def _sweep_analysis(
         if vd.empty:
             continue
         row = {"video": video}
+        short = "cfg" if param == "guidance_scale" else "steps"
         for metric in METRICS:
             best_idx = vd[metric].idxmin()
             worst_idx = vd[metric].idxmax()
             cast = int if param == "num_inference_steps" else float
-            row[f"{metric}_best_{param}"] = cast(vd.loc[best_idx, param])
+            row[f"{metric}_best_{short}"] = cast(vd.loc[best_idx, param])
             row[f"{metric}_best_val"] = vd.loc[best_idx, metric]
-            row[f"{metric}_worst_{param}"] = cast(vd.loc[worst_idx, param])
+            row[f"{metric}_worst_{short}"] = cast(vd.loc[worst_idx, param])
             row[f"{metric}_worst_val"] = vd.loc[worst_idx, metric]
             low = vd[vd[param] <= low_thr][metric].mean()
             high = vd[vd[param] >= high_thr][metric].mean()
@@ -192,6 +193,7 @@ def analyze_metric_agreement(df: pd.DataFrame):
     videos = df["video_name"].unique()
 
     def agreement(data, param, cast):
+        short = "cfg" if param == "guidance_scale" else "steps"
         rows = []
         for video in sorted(videos):
             vd = data[data["video_name"] == video]
@@ -201,11 +203,11 @@ def analyze_metric_agreement(df: pd.DataFrame):
             optima = []
             for metric in METRICS:
                 best = cast(vd.loc[vd[metric].idxmin(), param])
-                row[f"{metric}_best_{param}"] = best
+                row[f"{metric}_best_{short}"] = best
                 optima.append(best)
             row["unique_values"] = len(set(optima))
             row["agreement_score"] = 1 - (len(set(optima)) - 1) / (len(METRICS) - 1)
-            row[f"most_common_{param}"] = max(set(optima), key=optima.count)
+            row[f"most_common_{short}"] = max(set(optima), key=optima.count)
             rows.append(row)
         return pd.DataFrame(rows)
 
