@@ -79,3 +79,68 @@ class TestServing:
         except urllib.error.HTTPError as e:
             assert e.code == 500
             assert "KeyError" in json.loads(e.read())["error"]
+
+
+class TestBatchingService:
+    def test_concurrent_requests_share_one_batch(self):
+        """4 concurrent compatible requests -> ONE batched execution."""
+        import threading
+
+        from vdx.serving.server import BatchingGenerationService
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            scheduler="ddim",
+        )
+        svc = BatchingGenerationService(
+            pipe,
+            defaults={"num_frames": 2, "num_inference_steps": 2,
+                      "height": 64, "width": 64},
+            batch_window_s=1.0,  # generous: all 4 arrive inside the window
+        )
+        results = [None] * 4
+        def call(i):
+            results[i] = svc.generate({"prompt": f"video {i}", "seed": i})
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert all(r is not None for r in results)
+        assert svc.requests_served == 4
+        assert svc.batches_run == 1, "4 compatible requests should run as 1 batch"
+        assert all(r["timings"]["batch_size"] == 4 for r in results)
+        # different seeds -> different videos
+        a = np.asarray(
+            __import__("PIL.Image", fromlist=["Image"]).open(
+                io.BytesIO(base64.b64decode(results[0]["frames"][0]))))
+        b = np.asarray(
+            __import__("PIL.Image", fromlist=["Image"]).open(
+                io.BytesIO(base64.b64decode(results[1]["frames"][0]))))
+        assert not np.array_equal(a, b)
+
+    def test_incompatible_shapes_split_batches(self):
+        from vdx.serving.server import BatchingGenerationService
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            scheduler="ddim",
+        )
+        svc = BatchingGenerationService(
+            pipe,
+            defaults={"num_frames": 2, "num_inference_steps": 2,
+                      "height": 64, "width": 64},
+            batch_window_s=0.01,
+        )
+        r1 = svc.generate({"prompt": "a", "seed": 1})
+        r2 = svc.generate({"prompt": "b", "seed": 2, "num_frames": 4})
+        assert r1["num_frames"] == 2 and r2["num_frames"] == 4
+        assert svc.batches_run == 2

@@ -94,6 +94,137 @@ class GenerationService:
         }
 
 
+class BatchingGenerationService(GenerationService):
+    """Cross-request micro-batching.
+
+    Concurrent requests sharing the static program signature
+    (num_frames, steps, height, width) stack on the batch axis and execute
+    as ONE jitted denoise (the harness/batched.py machinery) — per-request
+    prompt/seed/guidance stay independent traced inputs. A request waits at
+    most ``batch_window_s`` for company; shape-incompatible requests run in
+    their own batch. The reference has no serving surface at all; this is
+    the production path the north star asks for (BASELINE.json).
+    """
+
+    def __init__(self, pipe, defaults: Optional[dict] = None,
+                 batch_window_s: float = 0.05, max_batch: int = 8,
+                 scheduler: Optional[str] = None):
+        super().__init__(pipe, defaults)
+        self.batch_window_s = batch_window_s
+        self.max_batch = max_batch
+        self.scheduler = scheduler or getattr(pipe, "scheduler", "ddim")
+        self.batches_run = 0
+        self._queue: list = []
+        self._cv = threading.Condition()
+        self._batched_fns: dict = {}
+        self._worker = threading.Thread(target=self._drain_loop, daemon=True)
+        self._worker.start()
+
+    # -- public ---------------------------------------------------------
+    def generate(self, request: dict) -> dict:
+        slot = {"request": request, "event": threading.Event(),
+                "result": None, "error": None}
+        with self._cv:
+            self._queue.append(slot)
+            self._cv.notify()
+        slot["event"].wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    # -- worker ---------------------------------------------------------
+    def _static_key(self, request: dict):
+        g = lambda k: request.get(k, self.defaults[k])  # noqa: E731
+        return (int(g("num_frames")), int(g("num_inference_steps")),
+                int(g("height")), int(g("width")))
+
+    def _drain_loop(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                # window: let compatible requests accumulate
+                self._cv.wait(timeout=self.batch_window_s)
+                key = self._static_key(self._queue[0]["request"])
+                batch, rest = [], []
+                for s in self._queue:
+                    if (len(batch) < self.max_batch
+                            and self._static_key(s["request"]) == key):
+                        batch.append(s)
+                    else:
+                        rest.append(s)
+                self._queue = rest
+            try:
+                self._run_batch(key, batch)
+            except Exception as e:  # noqa: BLE001 — deliver per-request
+                for s in batch:
+                    s["error"] = e
+                    s["event"].set()
+
+    def _run_batch(self, key, batch):
+        import jax.numpy as jnp
+
+        from vdx.core.rng import as_key
+        from vdx.harness.batched import _batched_denoise_fn
+
+        F, steps, H, W = key
+        pipe = self.pipe
+        ds = pipe.vae.config.downscale
+        latent_shape = (1, F, H // ds, W // ds, pipe.unet.config.in_channels)
+        fn_key = (steps, latent_shape, self.scheduler)
+        if fn_key not in self._batched_fns:
+            self._batched_fns[fn_key] = _batched_denoise_fn(
+                pipe, steps, latent_shape, self.scheduler)
+        denoise = self._batched_fns[fn_key]
+
+        t0 = time.time()
+        reqs = [s["request"] for s in batch]
+        neg = self.defaults["negative_prompt"]
+        with self._lock:
+            contexts = jnp.stack([
+                pipe.encode_prompt(r["prompt"], r.get("negative_prompt", neg))
+                for r in reqs
+            ])
+            keys = jnp.stack([as_key(int(r.get("seed", 0))) for r in reqs])
+            scales = jnp.asarray(
+                [float(r.get("guidance_scale",
+                             self.defaults["guidance_scale"])) for r in reqs],
+                jnp.float32,
+            )
+            latents = denoise(pipe.params["unet"], keys, contexts, scales)
+            import numpy as np
+
+            chunk = max(1, min(4, F))
+            while F % chunk:
+                chunk -= 1
+            decode = pipe._decode_fn(chunk)
+            frames_all = [
+                np.asarray(decode(pipe.params["vae"], latents[i, 0]))
+                for i in range(len(batch))
+            ]
+        dt = time.time() - t0
+        self.batches_run += 1
+
+        from PIL import Image
+
+        for s, frames, r in zip(batch, frames_all, reqs):
+            encoded = []
+            for f in frames:
+                buf = io.BytesIO()
+                Image.fromarray(f).save(buf, format="PNG")
+                encoded.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+            self.requests_served += 1
+            self.total_seconds += dt / len(batch)
+            s["result"] = {
+                "frames": encoded,
+                "num_frames": len(frames),
+                "timings": {"seconds": round(dt, 3),
+                            "batch_size": len(batch)},
+                "seed": int(r.get("seed", 0)),
+            }
+            s["event"].set()
+
+
 class GenerationServer:
     def __init__(self, service: GenerationService, host: str = "127.0.0.1",
                  port: int = 8080):
