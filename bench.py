@@ -44,9 +44,11 @@ def _run() -> None:
     import jax
     import jax.numpy as jnp
 
+    from vdx.core.cache import enable_compilation_cache
     from vdx.core.dtypes import Policy
     from vdx.pipelines import AnimateDiffPipeline
 
+    enable_compilation_cache()  # second-process runs skip the 200+ s scan compile
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
     pipe = AnimateDiffPipeline.with_random_params(

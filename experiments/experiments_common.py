@@ -14,8 +14,11 @@ def load_pipeline(tiny: bool = False, scheduler: str = "ddim"):
     """
     import jax.numpy as jnp
 
+    from vdx.core.cache import enable_compilation_cache
     from vdx.core.dtypes import FP32_POLICY, Policy
     from vdx.pipelines import AnimateDiffPipeline
+
+    enable_compilation_cache()  # amortise denoise-scan compiles across processes
 
     if tiny:
         from vdx.models.clip_text import CLIPTextConfig
