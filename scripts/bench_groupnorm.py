@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""TPU microbench: fused Pallas GroupNorm+SiLU vs XLA at UNet hot shapes.
+
+Follows the tunnel timing methodology (PERF.md): fresh input values per
+iteration, host materialisation to force execution.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vdx.kernels.groupnorm import fused_group_norm, fused_group_norm_2phase
+from vdx.ops.groupnorm import _group_norm_silu_xla
+
+
+def bench(fn, make_args, iters=5):
+    fn(*make_args(0))  # compile
+    times = []
+    for i in range(1, iters + 1):
+        args = make_args(i)
+        t0 = time.time()
+        out = fn(*args)
+        float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        times.append(time.time() - t0)
+    return min(times)
+
+
+def main():
+    print("backend:", jax.default_backend())
+    G = 32
+    # (B, S, C): UNet level shapes. B=32 = 2 (CFG) x 16 frames.
+    shapes = [
+        (32, 4096, 320),   # level 0 resnet GN
+        (32, 1024, 640),   # level 1
+        (32, 256, 1280),   # level 2
+        (2, 65536, 320),   # motion-module GN (stats span F*H*W)
+    ]
+    for (B, S, C) in shapes:
+        rng = np.random.default_rng(0)
+        scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+
+        def make(i, B=B, S=S, C=C):
+            x = jnp.asarray(
+                (rng.standard_normal((B, S, C)) + i * 0.001).astype(np.float32)
+            ).astype(jnp.bfloat16)
+            return (x, scale, bias)
+
+        xla = bench(lambda x, s, b: _group_norm_silu_xla(x, G, s, b), make)
+        single_elems = B and S * C
+        if S * C <= 2 * 1024 * 1024:
+            t1 = bench(
+                lambda x, s, b: fused_group_norm(
+                    x, s, b, num_groups=G, with_silu=True), make)
+        else:
+            t1 = float("nan")
+        t2 = bench(
+            lambda x, s, b: fused_group_norm_2phase(
+                x, s, b, num_groups=G, with_silu=True), make)
+        bytes_min = B * S * C * 2 * 2  # read + write bf16
+        print(
+            f"[{B},{S},{C}] xla {xla*1e3:7.2f} ms | fused {t1*1e3:7.2f} ms | "
+            f"2phase {t2*1e3:7.2f} ms | min-bytes floor "
+            f"{bytes_min / 819e9 * 1e3:.2f} ms"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,3 +33,28 @@ def test_matches_xla(shape, groups):
         np.asarray(got_plain), np.asarray(group_norm(x, groups, scale, bias)),
         atol=1e-5,
     )
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 64, 64), 8),
+    ((1, 4, 8, 8, 32), 4),
+])
+def test_2phase_matches_xla(shape, groups):
+    from vdx.kernels.groupnorm import fused_group_norm_2phase
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    C = shape[-1]
+    S = int(np.prod(shape[1:-1]))
+    scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_group_norm_2phase(
+            x.reshape(shape[0], S, C), scale, bias, num_groups=groups,
+            with_silu=True,
+        ).reshape(shape)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(group_norm_silu(x, groups, scale, bias)),
+        atol=1e-5,
+    )
