@@ -32,7 +32,7 @@ def bench(fn, make_args, iters=5):
 
 
 def main():
-    print("backend:", jax.default_backend())
+    print("backend:", jax.default_backend(), flush=True)
     G = 32
     # (B, S, C): UNet level shapes. B=32 = 2 (CFG) x 16 frames.
     shapes = [
@@ -41,6 +41,9 @@ def main():
         (32, 256, 1280),   # level 2
         (2, 65536, 320),   # motion-module GN (stats span F*H*W)
     ]
+    if len(sys.argv) > 1:  # select shapes by index, e.g. "0,3"
+        idx = [int(i) for i in sys.argv[1].split(",")]
+        shapes = [shapes[i] for i in idx]
     for (B, S, C) in shapes:
         rng = np.random.default_rng(0)
         scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
@@ -67,7 +70,8 @@ def main():
         print(
             f"[{B},{S},{C}] xla {xla*1e3:7.2f} ms | fused {t1*1e3:7.2f} ms | "
             f"2phase {t2*1e3:7.2f} ms | min-bytes floor "
-            f"{bytes_min / 819e9 * 1e3:.2f} ms"
+            f"{bytes_min / 819e9 * 1e3:.2f} ms",
+            flush=True,
         )
 
 

@@ -162,3 +162,52 @@ class TestUNetMotion:
         params = jax.eval_shape(model.init, jax.random.PRNGKey(0), sample, t, ctx)
         n = sum(np.prod(x.shape) for x in jax.tree.leaves(params))
         assert 0.85e9 < n < 1.55e9, f"param count {n/1e6:.1f}M"
+
+
+class TestSpatialTiledDecode:
+    def _vae(self):
+        import jax
+
+        from vdx.models.vae import AutoencoderKL, VAEConfig
+
+        cfg = VAEConfig.tiny()
+        vae = AutoencoderKL(cfg)
+        params = vae.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        return cfg, vae, params
+
+    def test_blend_exact_for_local_decoder(self):
+        """With a purely local shift-invariant decode_fn, tiling + overlap
+        blending must reproduce the untiled result EXACTLY — this pins the
+        window/ramp/normalisation arithmetic in isolation (a real conv+GN
+        decoder couples tiles globally, so only closeness holds there)."""
+        import jax
+        import numpy as np
+
+        from vdx.models.vae import decode_spatial_tiled
+
+        u = 8
+        dec = lambda z: jnp.repeat(  # noqa: E731
+            jnp.repeat(z[..., :3], u, axis=1), u, axis=2)
+        z = jax.random.normal(jax.random.PRNGKey(0), (2, 20, 24, 4))
+        full = dec(z)
+        tiled = decode_spatial_tiled(dec, z, u, tile=8, overlap=4)
+        np.testing.assert_allclose(
+            np.asarray(tiled), np.asarray(full), atol=1e-5)
+
+    def test_random_field_close_and_shape(self):
+        import jax
+        import numpy as np
+
+        from vdx.models.vae import decode_spatial_tiled
+
+        cfg, vae, params = self._vae()
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, cfg.latent_channels))
+        dec = lambda zz: vae.apply(params, zz, method=vae.decode)  # noqa: E731
+        full = np.asarray(dec(z))
+        tiled = np.asarray(
+            decode_spatial_tiled(dec, z, cfg.downscale, tile=12, overlap=6))
+        assert tiled.shape == full.shape
+        # tiles see truncated receptive fields: close, not identical
+        diff = np.abs(tiled - full).mean()
+        assert diff < 0.15 * np.abs(full).std(), diff

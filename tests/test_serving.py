@@ -100,7 +100,7 @@ class TestBatchingService:
             pipe,
             defaults={"num_frames": 2, "num_inference_steps": 2,
                       "height": 64, "width": 64},
-            batch_window_s=1.0,  # generous: all 4 arrive inside the window
+            autostart=False,  # enqueue the burst first -> deterministic batch
         )
         results = [None] * 4
         def call(i):
@@ -108,6 +108,12 @@ class TestBatchingService:
         threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
         for t in threads:
             t.start()
+        import time as _time
+
+        deadline = _time.time() + 60
+        while len(svc._queue) < 4 and _time.time() < deadline:
+            _time.sleep(0.01)
+        svc.start_worker()
         for t in threads:
             t.join(timeout=600)
         assert all(r is not None for r in results)

@@ -117,9 +117,10 @@ def fused_group_norm(
     G = num_groups
     assert C % G == 0
 
+    # fp32 chunk temporaries stay ~1 MB: chunk*C <= 2^18
     kernel = functools.partial(
-        _gn_kernel, chunk=_pick_chunk(S), group_size=C // G, eps=eps,
-        with_silu=with_silu,
+        _gn_kernel, chunk=_pick_chunk(S, max(8, 2**18 // C)),
+        group_size=C // G, eps=eps, with_silu=with_silu,
     )
     return pl.pallas_call(
         kernel,
@@ -198,7 +199,8 @@ def fused_group_norm_2phase(
     B, S, C = x.shape
     G = num_groups
     assert C % G == 0
-    chunk = _pick_chunk(S, target=2048)
+    # block bytes (in+out, double-buffered) ~ chunk*C*8 B: keep chunk*C <= 2^19
+    chunk = _pick_chunk(S, target=max(8, 2**19 // C))
     n_chunks = S // chunk
     onehot = _onehot(C, G)
 
@@ -232,10 +234,10 @@ def fused_group_norm_2phase(
     )(x, moments, onehot, scale, bias)
 
 
-# bf16 block bytes (in + out, double-buffered) must clear the ~16 MB VMEM
-# budget with room for chunk intermediates; 2 MB elements * 2 B * 2 bufs
-# * 2 (in+out) = 8 MB.
-_SINGLE_PROGRAM_MAX_ELEMS = 2 * 1024 * 1024
+# bf16 block bytes (in + out, double-buffered) must clear the ~19 MB scoped
+# VMEM budget with room for the fp32 chunk intermediates: S*C elems * 2 B
+# * 2 bufs * 2 (in+out) + ~3 MB temps. 1.375M elems -> ~14 MB.
+_SINGLE_PROGRAM_MAX_ELEMS = 1_441_792  # 1.375 * 2^20
 
 
 def group_norm_silu_pallas(x: jnp.ndarray, num_groups: int, scale, bias,

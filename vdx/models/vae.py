@@ -304,6 +304,88 @@ class TemporalDecoder(nn.Module):
         return self.policy.cast_to_output(h.reshape(BF, H, W, C))
 
 
+def decode_spatial_tiled(
+    decode_fn,
+    latents: jnp.ndarray,  # [B, h, w, 4] pre-scaled latents
+    upscale: int,
+    tile: int = 64,
+    overlap: int = 8,
+) -> jnp.ndarray:
+    """Spatially-tiled decode with linear overlap blending — inside XLA.
+
+    The reference handles decoder memory with eager ``enable_vae_slicing``
+    (01:85); at the SVD north-star 576x1024 (and beyond) the DECODER
+    activations dominate, so we tile the latent plane into overlapping
+    ``tile`` x ``tile`` windows, decode each through ``decode_fn`` (one
+    lax.map -> peak memory is ONE tile), and blend the overlaps with
+    linear ramps (the diffusers enable_vae_tiling recipe, reshaped for XLA:
+    static window grid, gather + weighted scatter-add).
+    """
+    B, h, w, C = latents.shape
+    tile = min(tile, h, w)
+    stride = tile - overlap
+    assert stride > 0
+
+    def starts(total):
+        s = list(range(0, max(total - tile, 0) + 1, stride))
+        if s[-1] + tile < total:
+            s.append(total - tile)
+        return s
+
+    ys, xs = starts(h), starts(w)
+    grid = [(y, x) for y in ys for x in xs]
+    idx = jnp.asarray(grid, jnp.int32)  # [N, 2]
+
+    def one(start):
+        z = jax.lax.dynamic_slice(
+            latents, (0, start[0], start[1], 0), (B, tile, tile, C)
+        )
+        return decode_fn(z)  # [B, tile*u, tile*u, 3]
+
+    tiles = jax.lax.map(one, idx)  # [N, B, T, T, 3]
+
+    u = upscale
+    T = tile * u
+    ramp = jnp.minimum(
+        jnp.arange(T, dtype=jnp.float32) / max(overlap * u - 1, 1), 1.0)
+    ramp = jnp.minimum(ramp, ramp[::-1])  # ramp up/down at both edges
+
+    # weight = ramp_y * ramp_x, with the side touching a global border held 1
+    def axis_weights(start_col, total):
+        wgt = jnp.broadcast_to(ramp, (idx.shape[0], T))
+        at_lo = (start_col == 0)[:, None]
+        at_hi = (start_col == (total - tile))[:, None]
+        lo_half = jnp.concatenate(
+            [jnp.ones(T // 2, jnp.float32), ramp[T // 2:]])
+        hi_half = jnp.concatenate(
+            [ramp[: T // 2], jnp.ones(T - T // 2, jnp.float32)])
+        wgt = jnp.where(at_lo, lo_half[None], wgt)
+        wgt = jnp.where(at_hi, jnp.where(at_lo, jnp.ones(T)[None], hi_half[None]), wgt)
+        return wgt
+
+    wy = axis_weights(idx[:, 0], h)  # [N, T]
+    wx = axis_weights(idx[:, 1], w)
+    weight = wy[:, None, :, None, None] * wx[:, None, None, :, None]  # [N,1,T,T,1]
+
+    out = jnp.zeros((B, h * u, w * u, 3), jnp.float32)
+    den = jnp.zeros((B, h * u, w * u, 1), jnp.float32)
+
+    def accum(carry, i):
+        out, den = carry
+        y, x = idx[i, 0] * u, idx[i, 1] * u
+        patch = tiles[i].astype(jnp.float32) * weight[i]
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (0, y, x, 0), (B, T, T, 3)) + patch,
+            (0, y, x, 0))
+        den = jax.lax.dynamic_update_slice(
+            den, jax.lax.dynamic_slice(den, (0, y, x, 0), (B, T, T, 1)) + weight[i],
+            (0, y, x, 0))
+        return (out, den), None
+
+    (out, den), _ = jax.lax.scan(accum, (out, den), jnp.arange(len(grid)))
+    return (out / jnp.maximum(den, 1e-8)).astype(tiles.dtype)
+
+
 def decode_frames_tiled(vae: AutoencoderKL, params, latents: jnp.ndarray, chunk: int = 4):
     """Decode [F, h, w, 4] latents in frame chunks of ``chunk`` via lax.map.
 

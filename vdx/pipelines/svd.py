@@ -152,13 +152,23 @@ class SVDImg2VidPipeline:
 
         return jax.jit(run)
 
-    def _decode_fn(self, chunk, num_frames):
+    def _decode_fn(self, chunk, num_frames, spatial_tile: int = 0,
+                   tile_overlap: int = 8):
         tdec = self.temporal_decoder
+        upscale = self.vae.config.downscale
 
         def decode(params, latents):  # [F, h, w, 4]
             z = latents.reshape(-1, chunk, *latents.shape[1:])
 
             def dec(c):
+                if spatial_tile:
+                    # peak decoder memory = ONE spatial tile (models/vae.py)
+                    from vdx.models.vae import decode_spatial_tiled
+
+                    return decode_spatial_tiled(
+                        lambda zz: tdec.apply(params["tdec"], zz, chunk),
+                        c, upscale, tile=spatial_tile, overlap=tile_overlap,
+                    )
                 return tdec.apply(params["tdec"], c, chunk)
 
             imgs = jax.lax.map(dec, z)
@@ -183,6 +193,7 @@ class SVDImg2VidPipeline:
         noise_aug_strength: float = 0.02,
         seed=0,
         decode_chunk: int = 5,
+        decode_spatial_tile: int = 0,  # latent px; 0 = untiled
         output_type: str = "np",
     ) -> SVDOutput:
         assert self.params is not None
@@ -207,9 +218,10 @@ class SVDImg2VidPipeline:
         chunk = max(1, min(decode_chunk, num_frames))
         while num_frames % chunk:
             chunk -= 1
-        dkey = ("svd_dec", chunk, latents.shape)
+        dkey = ("svd_dec", chunk, latents.shape, decode_spatial_tile)
         if dkey not in self._compiled:
-            self._compiled[dkey] = self._decode_fn(chunk, num_frames)
+            self._compiled[dkey] = self._decode_fn(
+                chunk, num_frames, spatial_tile=decode_spatial_tile)
         # temporal decoder expects pre-scaled latents (it divides internally)
         frames = np.asarray(self._compiled[dkey](self.params, latents[0]))
 

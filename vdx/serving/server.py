@@ -108,7 +108,7 @@ class BatchingGenerationService(GenerationService):
 
     def __init__(self, pipe, defaults: Optional[dict] = None,
                  batch_window_s: float = 0.05, max_batch: int = 8,
-                 scheduler: Optional[str] = None):
+                 scheduler: Optional[str] = None, autostart: bool = True):
         super().__init__(pipe, defaults)
         self.batch_window_s = batch_window_s
         self.max_batch = max_batch
@@ -117,8 +117,16 @@ class BatchingGenerationService(GenerationService):
         self._queue: list = []
         self._cv = threading.Condition()
         self._batched_fns: dict = {}
-        self._worker = threading.Thread(target=self._drain_loop, daemon=True)
-        self._worker.start()
+        self._worker: Optional[threading.Thread] = None
+        if autostart:
+            self.start_worker()
+
+    def start_worker(self) -> None:
+        """Start draining (idempotent). autostart=False lets callers enqueue
+        a burst first — deterministic batching for tests/offline use."""
+        if self._worker is None:
+            self._worker = threading.Thread(target=self._drain_loop, daemon=True)
+            self._worker.start()
 
     # -- public ---------------------------------------------------------
     def generate(self, request: dict) -> dict:
