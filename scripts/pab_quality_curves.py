@@ -1,16 +1,19 @@
 #!/usr/bin/env python
 """PAB speed-vs-quality curves (VERDICT r1 task 10; PERF.md PAB section).
 
-For a grid of PABConfig schedules, generate the same seeded video exact and
-with PAB, then score the drift the broadcast introduces with the metric
-engine's formulas (MSE / PSNR / flicker delta on the decoded frames) and
-time both. Weights are seeded-random (zero-egress env): the drift measures
-the APPROXIMATION, not model quality — the broadcast error mechanism is
-weight-independent (attention outputs drifting slowly across steps), so the
-ranking transfers; absolute numbers get re-validated when real checkpoints
-exist.
+For each PABConfig schedule, generate the same seeded videos exact and with
+PAB, time them (fresh seeds per timed run — tunnel methodology), and score
+the drift the broadcast introduces (MSE / PSNR on decoded frames + flicker
+delta). Weights are seeded-random (zero-egress env): the drift measures the
+APPROXIMATION mechanism (attention outputs drifting slowly across steps),
+which is weight-independent; absolute values get re-validated when real
+checkpoints exist.
 
-Writes artifacts/pab_quality_curves.csv and prints the table.
+One config per process (the tunnel compile is minutes):
+    python -u scripts/pab_quality_curves.py exact
+    python -u scripts/pab_quality_curves.py default
+    ...
+    python -u scripts/pab_quality_curves.py assemble   # -> CSV + table
 """
 
 import json
@@ -20,96 +23,98 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-import jax.numpy as jnp
 import numpy as np
 
+ROOT = Path(__file__).resolve().parents[1]
+ART = ROOT / "artifacts"
+RUNS = ART / "pab_runs"
 
-def video_metrics(frames):  # [F, H, W, 3] uint8 -> dict
+KWARGS = dict(
+    negative_prompt="bad quality, blurry, distorted",
+    num_frames=16, guidance_scale=7.5, num_inference_steps=25,
+    height=512, width=512, decode_chunk=8,
+)
+PROMPT = "a corgi walking on the beach, sunset lighting, high quality"
+SEEDS = [101, 202]
+
+
+def get_config(name):
+    from vdx.pipelines.base import PABConfig
+
+    return {
+        "exact": None,
+        "conservative": PABConfig(spatial_interval=2, temporal_interval=2,
+                                  cross_interval=4, warmup_steps=3,
+                                  cooldown_steps=3),
+        "default": PABConfig(),  # 2/4/6, warmup 2, cooldown 2
+        "aggressive": PABConfig(spatial_interval=3, temporal_interval=6,
+                                cross_interval=12, warmup_steps=2,
+                                cooldown_steps=1),
+    }[name]
+
+
+def video_metrics(frames):
+    import jax.numpy as jnp
+
     x = jnp.asarray(frames, jnp.float32) / 255.0
     d = x[1:] - x[:-1]
-    mse = jnp.mean(d * d, axis=(1, 2, 3))
-    flicker = jnp.mean(jnp.abs(x[:-2] - 2 * x[1:-1] + x[2:]))
-    return {"frame_mse": float(jnp.mean(mse)), "flicker": float(flicker)}
+    return {
+        "frame_mse": float(jnp.mean(d * d)),
+        "flicker": float(jnp.mean(jnp.abs(x[:-2] - 2 * x[1:-1] + x[2:]))),
+    }
 
 
-def drift(a, b):  # exact vs PAB frames
-    xa = jnp.asarray(a, jnp.float32) / 255.0
-    xb = jnp.asarray(b, jnp.float32) / 255.0
-    mse = float(jnp.mean((xa - xb) ** 2))
-    psnr = float(10.0 * jnp.log10(1.0 / max(mse, 1e-12)))
-    return mse, psnr
+def run_config(name):
+    import jax.numpy as jnp
 
-
-def run(pipe, prompt, seeds, kwargs):
-    times, outs = [], []
-    for s in seeds:
-        t0 = time.time()
-        out = pipe(prompt, seed=s, output_type="np", **kwargs)
-        out.frames[0][0, 0, 0, 0]  # host materialisation
-        times.append(time.time() - t0)
-        outs.append(out.frames[0])
-    return min(times), outs
-
-
-def main():
     from vdx.core.cache import enable_compilation_cache
     from vdx.core.dtypes import Policy
     from vdx.pipelines import AnimateDiffPipeline
-    from vdx.pipelines.base import PABConfig
 
     enable_compilation_cache()
+    RUNS.mkdir(parents=True, exist_ok=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    kwargs = dict(
-        negative_prompt="bad quality, blurry, distorted",
-        num_frames=16, guidance_scale=7.5, num_inference_steps=25,
-        height=512, width=512, decode_chunk=8,
-    )
-    prompt = "a corgi walking on the beach, sunset lighting, high quality"
-    seeds = [101, 202]
+    pipe = AnimateDiffPipeline.with_random_params(
+        seed=0, policy=policy, scheduler="ddim", pab=get_config(name))
 
-    grid = [
-        ("exact", None),
-        ("conservative", PABConfig(spatial_interval=2, temporal_interval=2,
-                                   cross_interval=4, warmup_steps=3,
-                                   cooldown_steps=3)),
-        ("default", PABConfig()),  # 2/4/6, warmup 2, cooldown 2
-        ("aggressive", PABConfig(spatial_interval=3, temporal_interval=6,
-                                 cross_interval=12, warmup_steps=2,
-                                 cooldown_steps=1)),
-    ]
+    times, frames = [], []
+    pipe(PROMPT, seed=999, output_type="np", **KWARGS)  # compile warmup
+    for s in SEEDS:
+        t0 = time.time()
+        out = pipe(PROMPT, seed=s, output_type="np", **KWARGS)
+        out.frames[0][0, 0, 0, 0]
+        times.append(time.time() - t0)
+        frames.append(out.frames[0])
+    np.save(RUNS / f"{name}.npy", np.stack(frames))
+    rec = {"config": name, "sec_per_video": round(min(times), 3),
+           **video_metrics(frames[0])}
+    with open(RUNS / f"{name}.json", "w") as f:
+        json.dump(rec, f)
+    print(json.dumps(rec), flush=True)
 
-    rows = []
-    exact_frames = None
-    exact_time = None
-    for name, pab in grid:
-        pipe = AnimateDiffPipeline.with_random_params(
-            seed=0, policy=policy, scheduler="ddim", pab=pab)
-        sec, outs = run(pipe, prompt, seeds, kwargs)
-        if name == "exact":
-            exact_frames, exact_time = outs, sec
-            rows.append({"config": name, "sec_per_video": round(sec, 2),
-                         "speedup": 1.0, "drift_mse": 0.0, "drift_psnr_db":
-                         float("inf"), **video_metrics(outs[0])})
-            continue
-        mses, psnrs = [], []
-        for a, b in zip(exact_frames, outs):
-            m, p = drift(a, b)
-            mses.append(m)
-            psnrs.append(p)
-        rows.append({
-            "config": name,
-            "sec_per_video": round(sec, 2),
-            "speedup": round(exact_time / sec, 3),
-            "drift_mse": float(np.mean(mses)),
-            "drift_psnr_db": round(float(np.mean(psnrs)), 2),
-            **video_metrics(outs[0]),
-        })
-        print(json.dumps(rows[-1]), flush=True)
 
-    out = Path(__file__).resolve().parents[1] / "artifacts" / "pab_quality_curves.csv"
-    out.parent.mkdir(exist_ok=True)
+def assemble():
     import csv
 
+    exact = np.load(RUNS / "exact.npy")
+    exact_rec = json.load(open(RUNS / "exact.json"))
+    rows = []
+    for name in ["exact", "conservative", "default", "aggressive"]:
+        f = RUNS / f"{name}.json"
+        if not f.exists():
+            continue
+        rec = json.load(open(f))
+        frames = np.load(RUNS / f"{name}.npy")
+        mses = [
+            float(np.mean((a.astype(np.float32) / 255 - b.astype(np.float32) / 255) ** 2))
+            for a, b in zip(exact, frames)
+        ]
+        mse = float(np.mean(mses))
+        rec["speedup"] = round(exact_rec["sec_per_video"] / rec["sec_per_video"], 3)
+        rec["drift_mse"] = mse
+        rec["drift_psnr_db"] = round(10 * np.log10(1.0 / max(mse, 1e-12)), 2)
+        rows.append(rec)
+    out = ART / "pab_quality_curves.csv"
     with open(out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0]))
         w.writeheader()
@@ -120,4 +125,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    arg = sys.argv[1] if len(sys.argv) > 1 else "assemble"
+    if arg == "assemble":
+        assemble()
+    else:
+        run_config(arg)
