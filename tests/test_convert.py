@@ -299,3 +299,45 @@ class TestRound2FamilyRules:
             jnp.zeros((1, 2, 4, 4, cfg.latent_channels)))
         _assert_coverage_and_roundtrip(pe, causal_vae_encoder_rules(cfg))
         _assert_coverage_and_roundtrip(pd, causal_vae_decoder_rules(cfg))
+
+
+class TestUNet3DAndLatteRules:
+    def test_unet3d_full_coverage_roundtrip(self):
+        from vdx.core.convert import unet3d_rules
+        from vdx.models.unet3d import UNet3D, UNet3DConfig
+
+        cfg = UNet3DConfig.tiny()
+        model = UNet3D(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((1, 2, 16, 16, cfg.in_channels), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 7, cfg.cross_attention_dim), jnp.float32),
+        )
+        _assert_coverage_and_roundtrip(params, unet3d_rules(cfg))
+
+    def test_latte_coverage(self):
+        """Every Latte leaf except the documented unconvertible ones."""
+        from vdx.core.convert import LATTE_UNCOVERED, latte_dit_rules
+        from vdx.models.dit import LatteConfig, LatteDiT
+
+        cfg = LatteConfig.tiny()
+        model = LatteDiT(cfg)
+        params = jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jax.ShapeDtypeStruct((1, 2, 8, 8, cfg.in_channels), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((1, 7, cfg.cross_attention_dim), jnp.float32),
+        )
+        rules = latte_dit_rules(cfg)
+        uncovered = [
+            p for p in flatten_params(params)
+            if p not in rules and p not in LATTE_UNCOVERED
+        ]
+        assert not uncovered, uncovered[:10]
+
+    def test_latte_scale_shift_table_flatten(self):
+        from vdx.core.convert import t_flatten
+
+        w = np.arange(12).reshape(6, 2).astype(np.float32)
+        np.testing.assert_array_equal(t_flatten(w), np.arange(12))

@@ -618,6 +618,149 @@ def cogvideox_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
 
 
 # ----------------------------------------------------------------------
+# ModelScope UNet3D mapping (diffusers UNet3DConditionModel)
+# ----------------------------------------------------------------------
+
+
+def _temporal_conv_rules(prefix: str, hf_prefix: str):
+    """TemporalConvLayer: conv{1..4} = Sequential(GroupNorm, SiLU, Conv3d)."""
+    rules = {}
+    for i in range(4):
+        rules[f"{prefix}/norm{i}/scale"] = (f"{hf_prefix}.conv{i + 1}.0.weight", t_id)
+        rules[f"{prefix}/norm{i}/bias"] = (f"{hf_prefix}.conv{i + 1}.0.bias", t_id)
+        rules[f"{prefix}/conv{i}/kernel"] = (f"{hf_prefix}.conv{i + 1}.2.weight", t_conv3d)
+        rules[f"{prefix}/conv{i}/bias"] = (f"{hf_prefix}.conv{i + 1}.2.bias", t_id)
+    return rules
+
+
+def unet3d_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our UNet3D param path -> diffusers UNet3DConditionModel key.
+
+    Layout check vs text-to-video-ms-1.7b (NOTES_r2 #10): per layer
+    resnet -> temp_conv -> attention -> temp_attention, plus the
+    transformer_in temporal transformer after conv_in — all present here
+    with matching key structure.
+    """
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "conv_in/kernel": ("conv_in.weight", t_conv),
+        "conv_in/bias": ("conv_in.bias", t_id),
+        "time_embedding/linear_1/kernel": ("time_embedding.linear_1.weight", t_dense),
+        "time_embedding/linear_1/bias": ("time_embedding.linear_1.bias", t_id),
+        "time_embedding/linear_2/kernel": ("time_embedding.linear_2.weight", t_dense),
+        "time_embedding/linear_2/bias": ("time_embedding.linear_2.bias", t_id),
+        "conv_norm_out/scale": ("conv_norm_out.weight", t_id),
+        "conv_norm_out/bias": ("conv_norm_out.bias", t_id),
+        "conv_out/kernel": ("conv_out.weight", t_conv),
+        "conv_out/bias": ("conv_out.bias", t_id),
+    }
+    rules.update(_motion_rules("transformer_in", "transformer_in"))
+    n = len(config.block_out_channels)
+    L = config.layers_per_block
+    for bi in range(n):
+        for li in range(L):
+            base = f"down_blocks.{bi}"
+            rules.update(_resnet_rules(
+                f"down_{bi}_{li}_resnet", f"{base}.resnets.{li}"))
+            rules.update(_temporal_conv_rules(
+                f"down_{bi}_{li}_tconv", f"{base}.temp_convs.{li}"))
+            if config.down_block_has_attn[bi]:
+                rules.update(_spatial_transformer_rules(
+                    f"down_{bi}_{li}_attn", f"{base}.attentions.{li}"))
+                rules.update(_motion_rules(
+                    f"down_{bi}_{li}_tattn", f"{base}.temp_attentions.{li}"))
+        if bi < n - 1:
+            rules[f"down_{bi}_downsample/conv/kernel"] = (
+                f"down_blocks.{bi}.downsamplers.0.conv.weight", t_conv)
+            rules[f"down_{bi}_downsample/conv/bias"] = (
+                f"down_blocks.{bi}.downsamplers.0.conv.bias", t_id)
+    rules.update(_resnet_rules("mid_0_resnet", "mid_block.resnets.0"))
+    rules.update(_temporal_conv_rules("mid_0_tconv", "mid_block.temp_convs.0"))
+    rules.update(_spatial_transformer_rules("mid_0_attn", "mid_block.attentions.0"))
+    rules.update(_motion_rules("mid_0_tattn", "mid_block.temp_attentions.0"))
+    rules.update(_resnet_rules("mid_resnet_1", "mid_block.resnets.1"))
+    rules.update(_temporal_conv_rules("mid_tconv_1", "mid_block.temp_convs.1"))
+    for bi in range(n):
+        for li in range(L + 1):
+            base = f"up_blocks.{bi}"
+            rules.update(_resnet_rules(
+                f"up_{bi}_{li}_resnet", f"{base}.resnets.{li}"))
+            rules.update(_temporal_conv_rules(
+                f"up_{bi}_{li}_tconv", f"{base}.temp_convs.{li}"))
+            if config.up_block_has_attn[bi]:
+                rules.update(_spatial_transformer_rules(
+                    f"up_{bi}_{li}_attn", f"{base}.attentions.{li}"))
+                rules.update(_motion_rules(
+                    f"up_{bi}_{li}_tattn", f"{base}.temp_attentions.{li}"))
+        if bi < n - 1:
+            rules[f"up_{bi}_upsample/conv/kernel"] = (
+                f"up_blocks.{bi}.upsamplers.0.conv.weight", t_conv)
+            rules[f"up_{bi}_upsample/conv/bias"] = (
+                f"up_blocks.{bi}.upsamplers.0.conv.bias", t_id)
+    return rules
+
+
+# ----------------------------------------------------------------------
+# Latte DiT mapping (diffusers LatteTransformer3DModel)
+# ----------------------------------------------------------------------
+
+
+def t_flatten(w):  # [6, D] scale_shift_table -> adaLN bias [6*D]
+    return np.asarray(w).reshape(-1)
+
+
+def latte_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
+    """Our LatteDiT param path -> diffusers Latte key.
+
+    Latte factorises adaLN as ONE global linear (adaln_single) plus a
+    per-block scale_shift_table added to its output; our per-block
+    AdaLNModulation reproduces that exactly when every block's kernel
+    loads the global linear and its bias loads the block's table
+    (modulation = kernel @ silu(c) + bias == global(c) + table).
+
+    Two leaves have no checkpoint counterpart (Latte adds the embedded
+    timestep to the final table directly — an implicit identity kernel):
+    our final_adaln kernel and the temporal-block cross norms; they are
+    listed in LATTE_UNCOVERED and left at init.
+    """
+    rules: Dict[str, Tuple[str, Callable]] = {
+        "patch_embed/kernel": ("pos_embed.proj.weight", t_patch_conv),
+        "patch_embed/bias": ("pos_embed.proj.bias", t_id),
+        "t_proj_1/kernel": ("adaln_single.emb.timestep_embedder.linear_1.weight", t_dense),
+        "t_proj_1/bias": ("adaln_single.emb.timestep_embedder.linear_1.bias", t_id),
+        "t_proj_2/kernel": ("adaln_single.emb.timestep_embedder.linear_2.weight", t_dense),
+        "t_proj_2/bias": ("adaln_single.emb.timestep_embedder.linear_2.bias", t_id),
+        "final_adaln/proj/bias": ("scale_shift_table", t_flatten),
+        "final_proj/kernel": ("proj_out.weight", t_dense),
+        "final_proj/bias": ("proj_out.bias", t_id),
+    }
+    for i in range(config.depth):
+        bp = f"blocks_{i}"
+        spatial = i % 2 == 0
+        hp = (f"transformer_blocks.{i // 2}" if spatial
+              else f"temporal_transformer_blocks.{i // 2}")
+        rules[f"{bp}/adaln/proj/kernel"] = ("adaln_single.linear.weight", t_dense)
+        rules[f"{bp}/adaln/proj/bias"] = (f"{hp}.scale_shift_table", t_flatten)
+        for ours, theirs in [("attn", "attn1"), ("cross_attn", "attn2")]:
+            for proj in ("to_q", "to_k", "to_v"):
+                rules[f"{bp}/{ours}/{proj}/kernel"] = (
+                    f"{hp}.{theirs}.{proj}.weight", t_dense)
+            rules[f"{bp}/{ours}/to_out/kernel"] = (
+                f"{hp}.{theirs}.to_out.0.weight", t_dense)
+            rules[f"{bp}/{ours}/to_out/bias"] = (
+                f"{hp}.{theirs}.to_out.0.bias", t_id)
+        rules[f"{bp}/mlp/net_0/proj/kernel"] = (f"{hp}.ff.net.0.proj.weight", t_dense)
+        rules[f"{bp}/mlp/net_0/proj/bias"] = (f"{hp}.ff.net.0.proj.bias", t_id)
+        rules[f"{bp}/mlp/net_2/kernel"] = (f"{hp}.ff.net.2.weight", t_dense)
+        rules[f"{bp}/mlp/net_2/bias"] = (f"{hp}.ff.net.2.bias", t_id)
+    return rules
+
+
+# Leaves of ours with no Latte checkpoint counterpart (kept at init values;
+# see latte_dit_rules docstring).
+LATTE_UNCOVERED = ("final_adaln/proj/kernel",)
+
+
+# ----------------------------------------------------------------------
 # CogVideoX 3D causal VAE mapping (diffusers AutoencoderKLCogVideoX)
 # ----------------------------------------------------------------------
 
