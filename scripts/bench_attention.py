@@ -6,7 +6,7 @@ the ~0.8 s dispatch latency). Usage:
 
     python -u scripts/bench_attention.py xla
     python -u scripts/bench_attention.py dt:1024:1024
-    python -u scripts/bench_attention.py dt:4096:1024 ...
+    python -u scripts/bench_attention.py dt:1024:1024:fastexp2 ...
 """
 
 import sys
@@ -31,11 +31,14 @@ def main():
 
         fn = lambda q, k, v: _xla_attention(q, k, v, scale, None)  # noqa: E731
     else:
-        _, bq, bk = spec.split(":")
+        parts = spec.split(":")
+        bq, bk = parts[1], parts[2]
+        exp_impl = parts[3] if len(parts) > 3 else "exp"
         from vdx.kernels.flash_attention import flash_attention_dt
 
         fn = lambda q, k, v: flash_attention_dt(  # noqa: E731
-            q, k, v, scale=scale, block_q=int(bq), block_k=int(bk))
+            q, k, v, scale=scale, block_q=int(bq), block_k=int(bk),
+            exp_impl=exp_impl)
 
     @jax.jit
     def loop(q, k, v):

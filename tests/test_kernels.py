@@ -56,6 +56,51 @@ def test_flash_dt_matches_xla(B, S, H, D):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
+@pytest.mark.parametrize("exp_impl", ["exp2", "fastexp2"])
+def test_flash_dt_exp2_paths_match_xla(exp_impl):
+    """Base-2 softmax variants (scale folded into q) stay numerically exact.
+
+    fastexp2's cubic has 7.5e-5 max rel error — atol 5e-4 still catches any
+    structural mistake (wrong exponent bits, bad clamp) by orders of
+    magnitude."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention_dt
+
+    key = jax.random.PRNGKey(3)
+    B, S, H, D = 2, 300, 2, 40  # unaligned S exercises the masked path
+    q = jax.random.normal(key, (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D), jnp.float32)
+    scale = D**-0.5
+    expected = _xla_attention(q, k, v, scale, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_dt(
+            q, k, v, scale=scale, block_q=128, block_k=128, exp_impl=exp_impl
+        )
+    atol = 2e-5 if exp_impl == "exp2" else 5e-4
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=atol)
+
+
+def test_fast_exp2_accuracy():
+    """_fast_exp2 vs exp2 over the full negative domain incl. the clamp."""
+    from vdx.kernels.flash_attention import _fast_exp2
+
+    y = jnp.asarray(
+        np.concatenate(
+            [
+                np.random.default_rng(0).uniform(-130, 0, 200_000),
+                [0.0, -1e30, -126.0, -124.999, -0.5],
+            ]
+        ),
+        jnp.float32,
+    )
+    got = np.asarray(_fast_exp2(y))
+    exact = np.exp2(np.maximum(np.asarray(y, np.float64), -125.0))
+    rel = np.abs(got - exact) / np.maximum(exact, 1e-300)
+    assert rel.max() < 1e-4
+
+
 def test_flash_cross_attention_shapes():
     """Skv != Sq (cross-attention 77-token context)."""
     key = jax.random.PRNGKey(1)

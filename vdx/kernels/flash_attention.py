@@ -29,6 +29,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+
+# Degree-3 minimax polynomial for 2^f on f in [0, 1] (rel err 7.5e-5 — 50x
+# below bf16's output grid). Used by the "fastexp2" softmax path.
+_EXP2_C0 = 0.9999250788416159
+_EXP2_C1 = 0.6958342408899721
+_EXP2_C2 = 0.22606693137993905
+_EXP2_C3 = 0.0780238760040786
+
+
+def _fast_exp2(y: jnp.ndarray) -> jnp.ndarray:
+    """2^y for y <= 0 via exponent-bit construction + cubic mantissa poly.
+
+    The builtin exp lowers to a long accurate VPU sequence; softmax only
+    needs bf16-grade probabilities, so a ~10-op approximation buys back a
+    large share of the kernel's VPU time. Clamped at 2^-125 (the cubic's
+    p < 1 would push 2^-126 subnormal, which FTZ flushes to 0 — fine for
+    softmax but it would break the relative-error contract).
+    """
+    y = jnp.maximum(y, -125.0)
+    n = jnp.floor(y)
+    f = y - n
+    p = ((_EXP2_C3 * f + _EXP2_C2) * f + _EXP2_C1) * f + _EXP2_C0
+    bits = (n.astype(jnp.int32) + 127) << 23
+    return jax.lax.bitcast_convert_type(bits, jnp.float32) * p
+
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale, kv_steps):
@@ -144,7 +170,9 @@ def flash_attention(
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "exp_impl")
+)
 def flash_attention_dt(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -153,6 +181,7 @@ def flash_attention_dt(
     scale: float,
     block_q: int = 1024,
     block_k: int = 1024,
+    exp_impl: str = "exp",  # "exp" | "exp2" | "fastexp2"
 ) -> jnp.ndarray:
     """Transposed-layout flash attention — zero head-dim padding waste.
 
@@ -178,6 +207,14 @@ def flash_attention_dt(
         return x.transpose(0, 2, 3, 1).reshape(B * x.shape[2], x.shape[3], x.shape[1])
 
     qt, kt, vt = fold_t(q), fold_t(k), fold_t(v)
+    if exp_impl != "exp":
+        # Base-2 softmax: fold scale * log2(e) into q once (one cheap XLA
+        # pass over [BH, D, S]) so the kernel's scores live in the log2
+        # domain and 2^x replaces e^x with identical results.
+        qt = qt * jnp.asarray(scale * LOG2E, qt.dtype)
+        kscale = 1.0
+    else:
+        kscale = scale
     bq = min(block_q, max(128, ((Sq + 127) // 128) * 128))
     bk = min(block_k, max(128, ((Skv + 127) // 128) * 128))
     Sqp = ((Sq + bq - 1) // bq) * bq
@@ -191,8 +228,8 @@ def flash_attention_dt(
 
     out = pl.pallas_call(
         functools.partial(
-            _flash_dt_kernel, scale=scale, kv_steps=kv_steps, kv_len=Skv,
-            block_k=bk, masked=(Skvp != Skv),
+            _flash_dt_kernel, scale=kscale, kv_steps=kv_steps, kv_len=Skv,
+            block_k=bk, masked=(Skvp != Skv), exp_impl=exp_impl,
         ),
         grid=grid,
         in_specs=[
@@ -217,7 +254,8 @@ def flash_attention_dt(
 
 
 def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
-                     *, scale, kv_steps, kv_len, block_k, masked):
+                     *, scale, kv_steps, kv_len, block_k, masked,
+                     exp_impl="exp"):
     ki = pl.program_id(2)
 
     @pl.when(ki == 0)
@@ -230,18 +268,24 @@ def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
     kt = kt_ref[0]  # [D, BK]
     vt = vt_ref[0]  # [D, BK]
 
+    # exp_impl != "exp" => scores are already in the log2 domain (scale and
+    # log2(e) folded into q host-side) and scale == 1.0 here.
+    exp_fn = {"exp": jnp.exp, "exp2": jnp.exp2, "fastexp2": _fast_exp2}[exp_impl]
+
     # scores^T [BK, BQ]: contract over D (sublanes of both operands)
     s = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
+    if scale != 1.0:
+        s = s * scale
     if masked:
         kv_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
         s = jnp.where(kv_ids < kv_len, s, NEG_INF)
 
     m_prev = m_ref[:]  # [1, BQ]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=0, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # [BK, BQ]
+    alpha = exp_fn(m_prev - m_new)
+    p = exp_fn(s - m_new)  # [BK, BQ]
 
     l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=0, keepdims=True)
     # out^T [D, BQ]: contract over BK (lanes of vt, sublanes of p)

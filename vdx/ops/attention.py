@@ -38,6 +38,27 @@ def _xla_attention(q, k, v, scale: float, mask: Optional[jnp.ndarray]) -> jnp.nd
     return jnp.swapaxes(out.astype(q.dtype), 1, 2)
 
 
+def _xla_attention_bf16probs(q, k, v, scale: float) -> jnp.ndarray:
+    """Short-sequence XLA attention with the probs tensor in bf16.
+
+    The temporal (S=16) and cross (Skv=77) sites stream the probability
+    tensor through HBM between the two batched matmuls; softmax statistics
+    stay fp32 but the stored probs drop to bf16, which measures 18%/17%
+    faster at the UNet level-0 temporal/cross shapes
+    (scripts/bench_shortseq_attn.py). Only used when v is bf16 — fp32
+    reference paths keep the exact softmax.
+    """
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(scale, jnp.float32)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)  # [b,h,q,1]
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return (out / jnp.swapaxes(l, 1, 2)).astype(q.dtype)
+
+
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
     try:
@@ -78,14 +99,17 @@ def dot_product_attention(
         D = q.shape[-1]
         if D % 8 == 0 and D < 128:
             # transposed layout: no 128-lane head-dim padding (25% faster at
-            # the UNet's D=40/80 shapes — PERF.md kernel table)
+            # the UNet's D=40/80 shapes — PERF.md kernel table). Base-2
+            # softmax (scale*log2e folded into q) is another 7% on top.
             from vdx.kernels.flash_attention import flash_attention_dt
 
-            return flash_attention_dt(q, k, v, scale=scale)
+            return flash_attention_dt(q, k, v, scale=scale, exp_impl="exp2")
         from vdx.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
     if impl == "xla":
+        if mask is None and v.dtype == jnp.bfloat16:
+            return _xla_attention_bf16probs(q, k, v, scale)
         return _xla_attention(q, k, v, scale, mask)
     if impl.startswith("ring:"):
         # Sequence-parallel ring attention: the S axis of q/k/v is a LOCAL
