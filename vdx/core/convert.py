@@ -899,7 +899,9 @@ def convert_checkpoint(
             shape_errors.append(f"{path}: got {w.shape}, want {tuple(leaf.shape)}")
             out[path] = leaf
             continue
-        out[path] = w.astype(np.asarray(leaf).dtype if hasattr(leaf, "dtype") else np.float32)
+        # leaf may be a ShapeDtypeStruct (eval_shape template) — read .dtype
+        # directly; np.asarray() on one yields a dtype=object scalar array.
+        out[path] = w.astype(getattr(leaf, "dtype", np.float32))
 
     report = {
         "missing": missing,
