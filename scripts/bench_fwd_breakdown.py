@@ -158,6 +158,89 @@ def main():
         finally:
             nnattn.FeedForward.__call__ = real_ffcall
 
+    if which in ("all3", "no-tempgn"):
+        # GroupNorm at the head of each motion module -> identity.
+        import vdx.nn.temporal as nntemp
+
+        real_gn = nntemp.group_norm
+
+        def null_gn(x, groups, scale, bias, eps=1e-5, stats_axis=None):
+            return x
+        nntemp.group_norm = null_gn
+        try:
+            run("no-tempgn")
+        finally:
+            nntemp.group_norm = real_gn
+
+    if which in ("all3", "no-templn"):
+        # LayerNormF32 inside temporal blocks -> identity (spatial blocks
+        # import their own symbol from nn.transformer, unaffected).
+        import vdx.nn.temporal as nntemp
+
+        real_ln = nntemp.LayerNormF32
+
+        class NullLN:
+            def __init__(self, *a, **kw):
+                pass
+
+            def __call__(self, x):
+                return x
+        nntemp.LayerNormF32 = NullLN
+        try:
+            run("no-templn")
+        finally:
+            nntemp.LayerNormF32 = real_ln
+
+    if which in ("all3", "no-temptranspose"):
+        # Replace the [B,F,H,W,C] <-> [B*H*W,F,C] relayouts with pure
+        # reshapes (WRONG data, identical shapes/op count) to attribute
+        # the transpose cost alone.
+        import flax.linen as fnn
+
+        import vdx.models.unet_motion as um
+        import vdx.nn.temporal as nntemp
+
+        def reshape_call(self, x, num_frames, refresh=None):
+            BF, H, W, C = x.shape
+            F = num_frames
+            B = BF // F
+            residual = x
+            scale = self.param("norm_scale", fnn.initializers.ones, (C,),
+                               self.policy.param_dtype)
+            bias = self.param("norm_bias", fnn.initializers.zeros, (C,),
+                              self.policy.param_dtype)
+            import math as _math
+            h = x.reshape(B, F, H, W, C)
+            h = nntemp.group_norm(h, _math.gcd(32, C), scale, bias, eps=1e-6)
+            h = h.reshape(B * H * W, F, C)  # reshape, not transpose
+            h = fnn.Dense(C, dtype=self.policy.compute_dtype,
+                          param_dtype=self.policy.param_dtype,
+                          name="proj_in")(h)
+            for i in range(self.depth):
+                h = nntemp.TemporalBlock(
+                    C, self.heads, C // self.heads,
+                    max_seq_length=self.max_seq_length, policy=self.policy,
+                    temporal_impl=self.temporal_impl, pab=self.pab,
+                    name=f"blocks_{i}")(h, refresh=refresh)
+            h = fnn.Dense(C, dtype=self.policy.compute_dtype,
+                          param_dtype=self.policy.param_dtype,
+                          name="proj_out")(h)
+            h = h.reshape(BF, H, W, C)
+            return h + residual
+
+        # Subclass so flax's metaclass wraps the compact method properly;
+        # patch the import site the UNet builds modules from.
+        ReshapeTT3D = type(
+            "TemporalTransformer3D",
+            (nntemp.TemporalTransformer3D,),
+            {"__call__": fnn.compact(reshape_call)},
+        )
+        um.TemporalTransformer3D = ReshapeTT3D
+        try:
+            run("no-temptranspose")
+        finally:
+            um.TemporalTransformer3D = nntemp.TemporalTransformer3D
+
     if which in ("all", "no-spatialmath"):
         # Null only the LONG-sequence (spatial self) attention; cross (S_kv=77)
         # and temporal (S=16) stay real.

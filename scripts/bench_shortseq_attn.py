@@ -94,6 +94,22 @@ def xla_bf16scores(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def xla_khq(q, k, v, scale):
+    """Scores in [b, k, h, q] so the two minor dims are (h=8, q=16) ->
+    h*q = 128 lanes exactly after a free trailing reshape — no 16->128
+    lane padding on the biggest stream. Softmax reduces over axis 1
+    (sublanes); probs stored bf16."""
+    scores = jnp.einsum("bqhd,bkhd->bkhq", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(scale, jnp.float32)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)  # [b,1,h,q]
+    out = jnp.einsum("bkhq,bkhd->bqhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return (out / jnp.transpose(l, (0, 3, 2, 1))).astype(q.dtype)
+
+
 def xla_headcross(q, k, v, scale):
     """Batch only over positions; let the MXU compute the full head-crossed
     [F, H, F, H] score block (64x padded FLOPs, still tiny) and slice the
@@ -137,14 +153,23 @@ def main():
         ]:
             results[tag] = timeit(tag, lambda q, k, v, f=fn: f(q, k, v, scale),
                                   make_temporal)
-        try:
-            from vdx.kernels.shortseq_attention import temporal_attention_fused
-            results["t-pallas"] = timeit(
-                "t-pallas",
-                lambda q, k, v: temporal_attention_fused(q, k, v, scale=scale),
+        from vdx.kernels.flash_attention import (
+            flash_attention_blockdiag,
+            flash_attention_blockdiag_tc,
+        )
+
+        for blk in (512,):
+            results[f"t-blockdiag{blk}"] = timeit(
+                f"t-blockdiag{blk}",
+                lambda q, k, v, b=blk: flash_attention_blockdiag(
+                    q, k, v, scale=scale, block=b),
                 make_temporal)
-        except ImportError:
-            pass
+        for blk in (128, 256, 512):
+            results[f"t-blockdiagtc{blk}"] = timeit(
+                f"t-blockdiagtc{blk}",
+                lambda q, k, v, b=blk: flash_attention_blockdiag_tc(
+                    q, k, v, scale=scale, heads=8, block=b),
+                make_temporal)
     if which in ("all", "cross"):
         from vdx.kernels.flash_attention import flash_attention_dt
 

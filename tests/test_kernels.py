@@ -101,6 +101,52 @@ def test_fast_exp2_accuracy():
     assert rel.max() < 1e-4
 
 
+@pytest.mark.parametrize("P,F,H,D", [(40, 16, 2, 40), (12, 8, 3, 16)])
+def test_flash_blockdiag_matches_xla(P, F, H, D):
+    """Tiny-seq block-diagonal kernel == per-position dense attention.
+
+    P chosen so P*F is not a multiple of the 128-token block: the padded
+    tail tokens must receive zero softmax weight (group-mismatch mask)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention_blockdiag
+
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (P, F, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (P, F, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (P, F, H, D), jnp.float32)
+    scale = D**-0.5
+    expected = _xla_attention(q, k, v, scale, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_blockdiag(q, k, v, scale=scale, block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+@pytest.mark.parametrize("variant", ["tc", "tc2"])
+def test_flash_blockdiag_tc_variants_match_xla(variant):
+    """[T, C]-layout block-diagonal variants (documented negative perf
+    results — PERF.md — but kept callable and correct)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import (
+        flash_attention_blockdiag_tc,
+        flash_attention_blockdiag_tc2,
+    )
+
+    fn = {"tc": flash_attention_blockdiag_tc,
+          "tc2": flash_attention_blockdiag_tc2}[variant]
+    key = jax.random.PRNGKey(6)
+    P, F, H, D = 40, 16, 2, 40
+    q = jax.random.normal(key, (P, F, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (P, F, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (P, F, H, D), jnp.float32)
+    scale = D**-0.5
+    expected = _xla_attention(q, k, v, scale, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = fn(q, k, v, scale=scale, heads=H, block=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
 def test_flash_cross_attention_shapes():
     """Skv != Sq (cross-attention 77-token context)."""
     key = jax.random.PRNGKey(1)

@@ -301,6 +301,263 @@ def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("scale", "block"))
+def flash_attention_blockdiag(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    block: int = 512,
+) -> jnp.ndarray:
+    """Tiny-sequence (temporal, S=F<=32) self-attention, MXU-aligned.
+
+    The motion modules attend over F frames per spatial position
+    ([B*H*W, F, H, D]; reference trace experiments/03_trace_forward_pass.py:
+    160-169). XLA lowers that as a 65k-deep batch of [F, F] matmuls whose
+    score tensors pad F=16 lanes up to 128 — an 8x HBM/MXU waste that makes
+    these "tiny" sites ~6 ms each (PERF.md breakdown).
+
+    Trick: positions x frames is ONE contiguous token axis ([P, F] ->
+    [P*F] is a pure reshape), and per-position attention is exactly
+    full attention over that axis under a block-diagonal mask
+    (token i ~ token j iff i//F == j//F). With a block size that's a
+    multiple of F, every off-diagonal tile is fully masked — so only the
+    grid's diagonal tiles are computed: a one-shot masked softmax per
+    [block, block] tile, no online recurrence, no padding waste. The
+    transposed (D-sublane) layout avoids head-dim lane padding as in
+    flash_attention_dt; scale*log2(e) is folded into q (base-2 softmax).
+
+    Requires F | block and block % 128 == 0 (dispatch gates on
+    128 % F == 0).
+    """
+    P, F, H, D = q.shape
+    assert k.shape == q.shape and v.shape == q.shape
+    assert D % 8 == 0, D
+    assert block % 128 == 0 and block % F == 0, (block, F)
+
+    T = P * F
+
+    def fold_t(x):  # [P, F, H, D] -> [H, D, P*F]
+        return x.transpose(2, 3, 0, 1).reshape(H, D, T)
+
+    qt = fold_t(q) * jnp.asarray(scale * LOG2E, q.dtype)
+    kt, vt = fold_t(k), fold_t(v)
+
+    Tp = ((T + block - 1) // block) * block
+    qt, kt, vt = _pad_to(qt, Tp, 2), _pad_to(kt, Tp, 2), _pad_to(vt, Tp, 2)
+
+    grid = (H, Tp // block)
+    out = pl.pallas_call(
+        functools.partial(_blockdiag_kernel, seq=F),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, block), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, D, block), lambda h, t: (h, 0, t)),
+            pl.BlockSpec((1, D, block), lambda h, t: (h, 0, t)),
+        ],
+        out_specs=pl.BlockSpec((1, D, block), lambda h, t: (h, 0, t)),
+        out_shape=jax.ShapeDtypeStruct((H, D, Tp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(qt, kt, vt)
+
+    out = out[:, :, :T]  # [H, D, T]
+    return out.reshape(H, D, P, F).transpose(2, 3, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block"))
+def flash_attention_blockdiag_tc(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    heads: int,
+    block: int = 256,
+) -> jnp.ndarray:
+    """Tiny-seq block-diagonal attention on the NATIVE [tokens, C] layout.
+
+    flash_attention_blockdiag's host-side fold to [H, D, T] is a
+    minor-dims-to-major relayout that costs more than the attention itself
+    (PERF.md: 8.2 ms vs 5.2 ms for the XLA path at the level-0 temporal
+    shape). Here q/k/v stay in the projection output layout [P, F, C]
+    (reshaped [P*F, C] for free since P,F are adjacent); the kernel
+    transposes each [block, C] tile in VMEM (cheap — no HBM relayout) and
+    slices heads on SUBLANES (D % 8 == 0), so HBM sees exactly 3 reads +
+    1 write of the logical tensors and nothing else.
+    """
+    P, F, H, D = q.shape
+    assert k.shape == q.shape and v.shape == q.shape
+    assert H == heads and D % 8 == 0, (H, heads, D)
+    assert block % 128 == 0 and block % F == 0, (block, F)
+
+    T = P * F
+    C = H * D
+
+    def fold(x):  # [P, F, H, D] -> [T, C]: pure reshape, no data movement
+        return x.reshape(T, C)
+
+    q2, k2, v2 = fold(q), fold(k), fold(v)
+    Tp = ((T + block - 1) // block) * block
+    q2, k2, v2 = _pad_to(q2, Tp, 0), _pad_to(k2, Tp, 0), _pad_to(v2, Tp, 0)
+
+    grid = (Tp // block,)
+    out = pl.pallas_call(
+        functools.partial(
+            _blockdiag_tc_kernel, seq=F, heads=H, head_dim=D,
+            scale_log2e=scale * LOG2E,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, C), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(q2, k2, v2)
+
+    return out[:T].reshape(P, F, H, D)
+
+
+def _blockdiag_tc_kernel(q_ref, k_ref, v_ref, o_ref, *, seq, heads, head_dim,
+                         scale_log2e):
+    qt = q_ref[:].T  # [C, BQ] — VMEM transpose, heads on sublanes
+    kt = k_ref[:].T
+    vt = v_ref[:].T
+
+    rows = None
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        hi = lo + head_dim
+        s = jax.lax.dot_general(
+            kt[lo:hi], qt[lo:hi], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BK, BQ]
+        s = s * scale_log2e
+        if rows is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // seq
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // seq
+            allowed = rows == cols
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=0, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            vt[lo:hi], p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [D, BQ]
+        outs.append(pv / l)
+    o_ref[:] = jnp.concatenate(outs, axis=0).T.astype(o_ref.dtype)
+
+
+def _blockdiag_tc2_kernel(q_ref, k_ref, v_ref, o_ref, *, seq, heads, head_dim,
+                          scale_log2e):
+    """tc variant with a single VMEM transpose (k only).
+
+    q/v head slices stay in the native [BQ, C] layout (lane slices at
+    D-multiples); scores are computed q-major so softmax reduces over
+    lanes and the PV dot consumes v natively.
+    """
+    q = q_ref[:]  # [BQ, C]
+    v = v_ref[:]
+    kt = k_ref[:].T  # [C, BQ]
+
+    allowed = None
+    outs = []
+    for h in range(heads):
+        lo = h * head_dim
+        hi = lo + head_dim
+        s = jax.lax.dot_general(
+            q[:, lo:hi], kt[lo:hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, BK]
+        s = s * scale_log2e
+        if allowed is None:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // seq
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // seq
+            allowed = rows == cols
+        s = jnp.where(allowed, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v[:, lo:hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [BQ, D]
+        outs.append(pv / l)
+    o_ref[:] = jnp.concatenate(outs, axis=1).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "heads", "block"))
+def flash_attention_blockdiag_tc2(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float,
+    heads: int,
+    block: int = 256,
+) -> jnp.ndarray:
+    """blockdiag_tc with the single-transpose q-major kernel."""
+    P, F, H, D = q.shape
+    assert H == heads and D % 8 == 0, (H, heads, D)
+    assert block % 128 == 0 and block % F == 0, (block, F)
+    T = P * F
+    C = H * D
+    q2, k2, v2 = q.reshape(T, C), k.reshape(T, C), v.reshape(T, C)
+    Tp = ((T + block - 1) // block) * block
+    q2, k2, v2 = _pad_to(q2, Tp, 0), _pad_to(k2, Tp, 0), _pad_to(v2, Tp, 0)
+    out = pl.pallas_call(
+        functools.partial(
+            _blockdiag_tc2_kernel, seq=F, heads=H, head_dim=D,
+            scale_log2e=scale * LOG2E,
+        ),
+        grid=(Tp // block,),
+        in_specs=[
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+            pl.BlockSpec((block, C), lambda t: (t, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, C), lambda t: (t, 0)),
+        out_shape=jax.ShapeDtypeStruct((Tp, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(q2, k2, v2)
+    return out[:T].reshape(P, F, H, D)
+
+
+def _blockdiag_kernel(qt_ref, kt_ref, vt_ref, o_ref, *, seq):
+    qt = qt_ref[0]  # [D, BQ] — scores already in the log2 domain
+    kt = kt_ref[0]
+    vt = vt_ref[0]
+
+    s = jax.lax.dot_general(
+        kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BK, BQ]
+    # Block-diagonal mask: tiles start at multiples of `seq`, so local
+    # indices suffice. Padded tail tokens always mismatch real groups.
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // seq
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) // seq
+    s = jnp.where(rows == cols, s, NEG_INF)
+
+    m = jnp.max(s, axis=0, keepdims=True)  # [1, BQ]
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=0, keepdims=True)
+    pv = jax.lax.dot_general(
+        vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [D, BQ]
+    o_ref[0] = (pv / l).astype(o_ref.dtype)
+
+
 def _flash_kernel_nomask(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
                          *, scale, kv_steps, kv_len, block_k):
     del kv_len, block_k

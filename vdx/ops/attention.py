@@ -91,10 +91,21 @@ def dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if impl == "auto":
-        impl = (
-            "flash" if (mask is None and _flash_available() and _should_use_flash(q, k)) else "xla"
-        )
+        if mask is None and _flash_available() and _should_use_flash(q, k):
+            impl = "flash"
+        else:
+            # Temporal/motion sites (S = frame count <= 32) stay on the
+            # XLA path: the block-diagonal Pallas kernels
+            # (kernels/flash_attention.py blockdiag*) are measured SLOWER
+            # than XLA+bf16probs at the level-0 shape — host-side folds /
+            # in-VMEM transposes eat the padding win (PERF.md). Revisit if
+            # Mosaic gains cheap tile transposes.
+            impl = "xla"
 
+    if impl == "blockdiag":
+        from vdx.kernels.flash_attention import flash_attention_blockdiag
+
+        return flash_attention_blockdiag(q, k, v, scale=scale)
     if impl == "flash":
         D = q.shape[-1]
         if D % 8 == 0 and D < 128:
