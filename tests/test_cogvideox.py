@@ -16,6 +16,7 @@ from vdx.models.cogvideox import (
 )
 from vdx.models.t5 import T5Config, T5Encoder
 from vdx.pipelines.cogvideox import CogVideoXPipeline
+from vdx.core.init import fast_init
 
 
 class TestT5:
@@ -23,7 +24,7 @@ class TestT5:
         cfg = T5Config.tiny()
         model = T5Encoder(cfg, policy=FP32_POLICY)
         ids = jnp.ones((2, 10), jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), ids)
+        params = fast_init(model, ids, seed=0)
         out = model.apply(params, ids)
         assert out.shape == (2, 10, cfg.d_model)
 
@@ -32,7 +33,7 @@ class TestT5:
         cfg = T5Config.tiny()
         model = T5Encoder(cfg, policy=FP32_POLICY)
         ids = jnp.ones((1, 8), jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), ids)
+        params = fast_init(model, ids, seed=0)
         o1 = model.apply(params, ids)
         o2 = model.apply(params, ids.at[0, 6].set(3))
         assert not np.allclose(np.asarray(o1[0, :6]), np.asarray(o2[0, :6]))
@@ -44,7 +45,7 @@ class TestCausalVAE:
         enc = CausalVAEEncoder(cfg, policy=FP32_POLICY)
         F, H, W = 9, 32, 32
         x = jnp.zeros((1, F, H, W, 3))
-        params = enc.init(jax.random.PRNGKey(0), x)
+        params = fast_init(enc, x, seed=0)
         z = enc.apply(params, x)
         # temporal 4x (ceil-ish with causal convs), spatial 8x
         assert z.shape[2] == H // 8 and z.shape[3] == W // 8
@@ -55,7 +56,7 @@ class TestCausalVAE:
         cfg = CausalVAEConfig.tiny()
         dec = CausalVAEDecoder(cfg, policy=FP32_POLICY)
         z = jnp.zeros((1, 3, 4, 4, cfg.latent_channels))
-        params = dec.init(jax.random.PRNGKey(0), z)
+        params = fast_init(dec, z, seed=0)
         x = dec.apply(params, z)
         assert x.shape == (1, 12, 32, 32, 3)
 
@@ -64,7 +65,7 @@ class TestCausalVAE:
         conv = CausalConv3d(4, policy=FP32_POLICY)
         x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 6, 4, 4, 3)),
                         jnp.float32)
-        params = conv.init(jax.random.PRNGKey(0), x)
+        params = fast_init(conv, x, seed=0)
         o1 = conv.apply(params, x)
         x2 = x.at[:, 4:].add(1.0)  # change frames 4,5
         o2 = conv.apply(params, x2)
@@ -81,7 +82,7 @@ class TestDiT3D:
             np.random.default_rng(0).standard_normal((1, 4, cfg.text_dim)),
             jnp.float32,
         )
-        params = model.init(jax.random.PRNGKey(0), sample, jnp.asarray([10]), txt)
+        params = fast_init(model, sample, jnp.asarray([10]), txt, seed=0)
         # adaLN-Zero zero-inits gates/final proj; fill them so signal flows
         leaves, treedef = jax.tree.flatten(params)
         key = jax.random.PRNGKey(99)

@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+from vdx.core.init import fast_init
+
 from vdx.data import (
     FrameFolderDataset,
     VideoClipLoader,
@@ -110,7 +112,7 @@ class TestEncodeAndTrain:
         batch = next(iter(VideoClipLoader(ds, batch_size=2, seed=0)))
 
         vae = AutoencoderKL(VAEConfig.tiny(), policy=FP32_POLICY)
-        vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        vparams = fast_init(vae, jnp.zeros((1, 64, 64, 3)), seed=0)
         latents = encode_clips_to_latents(vae, vparams, batch["pixels"])
         assert latents.shape == (2, 4, 8, 8, 4)
 

@@ -9,6 +9,7 @@ from vdx.core.dtypes import FP32_POLICY
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.parallel.frame_parallel import make_frame_sharded_unet
 from vdx.parallel.mesh import make_mesh
+from vdx.core.init import fast_init
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +23,7 @@ def setup():
     sample = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4))
     t = jnp.asarray([500])
     ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim))
-    params = local.init(jax.random.PRNGKey(2), sample, t, ctx)
+    params = fast_init(local, sample, t, ctx, seed=2)
     return mesh, cfg, local, params, sample, t, ctx
 
 
@@ -58,7 +59,7 @@ class TestFrameSharded:
             jax.random.PRNGKey(1), (B, 1, cfg.cross_attention_dim)
         )
         aids = jnp.asarray([[6.0, 127.0, 0.02]])
-        params = local.init(jax.random.PRNGKey(2), sample, t, emb, aids)
+        params = fast_init(local, sample, t, emb, aids, seed=2)
         expected = local.apply(params, sample, t, emb, aids)
 
         _, sharded_apply = make_frame_sharded_svd_unet(cfg, mesh, policy=FP32_POLICY)

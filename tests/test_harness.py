@@ -5,6 +5,8 @@ import json
 import numpy as np
 import pytest
 
+from vdx.core.init import fast_init
+
 from vdx.harness.config import TEST_VIDEOS, ExperimentConfig
 from vdx.harness.grid import (
     generate_manifest,
@@ -132,7 +134,7 @@ class TestTracer:
         sample = jnp.zeros((1, 2, 16, 16, 4))
         t = jnp.asarray([500])
         ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
-        params = model.init(jax.random.PRNGKey(0), sample, t, ctx)
+        params = fast_init(model, sample, t, ctx, seed=0)
 
         tracer = ForwardTracer(model, trace_depth=2)
         out = tracer.trace(params, sample, t, ctx)
@@ -163,7 +165,7 @@ class TestTracer:
 
         model = TemporalTransformer3D(heads=2, policy=FP32_POLICY)
         x = jnp.zeros((2, 4, 4, 16))
-        params = model.init(jax.random.PRNGKey(0), x, 2)
+        params = fast_init(model, x, 2, seed=0)
         tracer = ForwardTracer(model)
         tracer.trace(params, x, 2)
         p1 = tracer.save_report(tmp_path / "trace.txt")

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from vdx.metrics.lpips import LPIPS, LPIPSMetric, load_torch_weights
+from vdx.core.init import fast_init
 
 
 def _synthetic_state_dict(rng):
@@ -44,7 +45,7 @@ class TestLPIPSConversion:
         params = load_torch_weights(_synthetic_state_dict(rng))
         model = LPIPS()
         dummy = jnp.zeros((1, 64, 64, 3))
-        ref = model.init(jax.random.PRNGKey(0), dummy, dummy)
+        ref = fast_init(model, dummy, dummy, seed=0)
 
         ref_flat = jax.tree_util.tree_flatten_with_path(ref)[0]
         got_flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -4,6 +4,7 @@ import jax
 import pytest
 
 from vdx.parallel.mesh import auto_mesh, make_mesh
+from vdx.core.init import fast_init
 
 
 class TestAutoMesh:
@@ -50,7 +51,7 @@ class TestTensorParallelParity:
         sample = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 16, 16, 4))
         t = jnp.asarray([500])
         ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 7, cfg.cross_attention_dim))
-        params = model.init(jax.random.PRNGKey(2), sample, t, ctx)
+        params = fast_init(model, sample, t, ctx, seed=2)
         expected = model.apply(params, sample, t, ctx)
 
         shardings = param_sharding_rules(params, mesh, min_size=2**8)

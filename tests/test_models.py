@@ -12,6 +12,7 @@ from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.models.vae import AutoencoderKL, VAEConfig
 from vdx.nn.temporal import TemporalTransformer3D
 from vdx.ops.groupnorm import group_norm
+from vdx.core.init import fast_init
 
 
 class TestGroupNorm:
@@ -65,7 +66,7 @@ class TestCLIPText:
         cfg = CLIPTextConfig.tiny()
         model = CLIPTextModel(cfg, policy=FP32_POLICY)
         ids = jnp.zeros((2, 77), dtype=jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), ids)
+        params = fast_init(model, ids, seed=0)
         out = model.apply(params, ids)
         assert out.shape == (2, 77, cfg.hidden_size)
         assert out.dtype == jnp.float32
@@ -75,7 +76,7 @@ class TestCLIPText:
         cfg = CLIPTextConfig.tiny()
         model = CLIPTextModel(cfg, policy=FP32_POLICY)
         ids = jnp.ones((1, 10), dtype=jnp.int32)
-        params = model.init(jax.random.PRNGKey(0), ids)
+        params = fast_init(model, ids, seed=0)
         out1 = model.apply(params, ids)
         ids2 = ids.at[0, 7].set(5)
         out2 = model.apply(params, ids2)
@@ -88,7 +89,7 @@ class TestVAE:
         cfg = VAEConfig.tiny()
         vae = AutoencoderKL(cfg, policy=FP32_POLICY)
         x = jnp.zeros((1, 32, 32, 3))
-        params = vae.init(jax.random.PRNGKey(0), x)
+        params = fast_init(vae, x, seed=0)
         z = vae.apply(params, x, method=vae.encode)
         assert z.shape == (1, 4, 4, 4)  # 8x spatial down
         y = vae.apply(params, z, method=vae.decode)
@@ -102,7 +103,7 @@ class TestTemporalModule:
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal((4, 3, 3, 16)).astype(np.float32)
         )  # B=2, F=2
-        params = model.init(jax.random.PRNGKey(0), x, 2)
+        params = fast_init(model, x, 2, seed=0)
         out1 = model.apply(params, x, 2)
         assert out1.shape == x.shape
         # Perturb batch element 1's frames; batch element 0 output unchanged.
@@ -115,7 +116,7 @@ class TestTemporalModule:
         x = jnp.asarray(
             np.random.default_rng(1).standard_normal((4, 3, 3, 16)).astype(np.float32)
         )
-        params = model.init(jax.random.PRNGKey(0), x, 2)
+        params = fast_init(model, x, 2, seed=0)
         out1 = model.apply(params, x, 2)
         x2 = x.at[1].add(1.0)  # frame 1 of batch element 0
         out2 = model.apply(params, x2, 2)
@@ -123,28 +124,33 @@ class TestTemporalModule:
         assert not np.allclose(out1[0], out2[0], atol=1e-6)
 
 
+@pytest.fixture(scope="module")
+def tiny_unet_motion():
+    """ONE jitted tiny UNetMotion shared by the forward tests (each eager
+    apply costs ~45 s on the 1-core CPU runner; one jit compile serves all)."""
+    cfg = UNetMotionConfig.tiny()
+    model = UNetMotion(cfg, policy=FP32_POLICY)
+    B, F, H, W = 1, 4, 16, 16
+    sample = jnp.zeros((B, F, H, W, 4))
+    ctx = jnp.zeros((B, 7, cfg.cross_attention_dim))
+    params = fast_init(model, sample, jnp.asarray([500]), ctx, seed=0)
+    japply = jax.jit(model.apply)
+    return model, params, japply, sample, ctx
+
+
 class TestUNetMotion:
-    def test_forward_shape_and_determinism(self):
-        cfg = UNetMotionConfig.tiny()
-        model = UNetMotion(cfg, policy=FP32_POLICY)
-        B, F, H, W = 1, 4, 16, 16
-        sample = jnp.zeros((B, F, H, W, 4))
-        t = jnp.asarray([500])
-        ctx = jnp.zeros((B, 7, cfg.cross_attention_dim))
-        params = model.init(jax.random.PRNGKey(0), sample, t, ctx)
-        out = model.apply(params, sample, t, ctx)
-        assert out.shape == (B, F, H, W, 4)
-        out2 = model.apply(params, sample, t, ctx)
+    def test_forward_shape_and_determinism(self, tiny_unet_motion):
+        model, params, japply, sample, ctx = tiny_unet_motion
+        out = japply(params, sample, jnp.asarray([500]), ctx)
+        assert out.shape == sample.shape
+        out2 = japply(params, sample, jnp.asarray([500]), ctx)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
-    def test_timestep_changes_output(self):
-        cfg = UNetMotionConfig.tiny()
-        model = UNetMotion(cfg, policy=FP32_POLICY)
-        sample = jnp.ones((1, 2, 16, 16, 4))
-        ctx = jnp.zeros((1, 7, cfg.cross_attention_dim))
-        params = model.init(jax.random.PRNGKey(0), sample, jnp.asarray([1]), ctx)
-        o1 = model.apply(params, sample, jnp.asarray([1]), ctx)
-        o2 = model.apply(params, sample, jnp.asarray([900]), ctx)
+    def test_timestep_changes_output(self, tiny_unet_motion):
+        model, params, japply, _, ctx = tiny_unet_motion
+        sample = jnp.ones((1, 4, 16, 16, 4))
+        o1 = japply(params, sample, jnp.asarray([1]), ctx)
+        o2 = japply(params, sample, jnp.asarray([900]), ctx)
         assert not np.allclose(np.asarray(o1), np.asarray(o2), atol=1e-4)
 
     def test_sd15_param_count(self):

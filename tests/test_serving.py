@@ -17,8 +17,11 @@ from vdx.serving.server import GenerationServer, GenerationService
 
 
 @pytest.fixture(scope="module")
-def server():
-    pipe = AnimateDiffPipeline.with_random_params(
+def pipe():
+    # ONE tiny pipeline for the whole module: every service/server test
+    # shares its compiled-program cache (per-test pipelines each recompile
+    # the generation program, which dominates suite wall-clock).
+    return AnimateDiffPipeline.with_random_params(
         seed=0,
         unet_config=UNetMotionConfig.tiny(),
         vae_config=VAEConfig.tiny(),
@@ -26,6 +29,10 @@ def server():
         policy=FP32_POLICY,
         scheduler="ddim",
     )
+
+
+@pytest.fixture(scope="module")
+def server(pipe):
     svc = GenerationService(
         pipe,
         defaults={"num_frames": 2, "num_inference_steps": 2,
@@ -82,20 +89,12 @@ class TestServing:
 
 
 class TestBatchingService:
-    def test_concurrent_requests_share_one_batch(self):
+    def test_concurrent_requests_share_one_batch(self, pipe):
         """4 concurrent compatible requests -> ONE batched execution."""
         import threading
 
         from vdx.serving.server import BatchingGenerationService
 
-        pipe = AnimateDiffPipeline.with_random_params(
-            seed=0,
-            unet_config=UNetMotionConfig.tiny(),
-            vae_config=VAEConfig.tiny(),
-            text_config=CLIPTextConfig.tiny(),
-            policy=FP32_POLICY,
-            scheduler="ddim",
-        )
         svc = BatchingGenerationService(
             pipe,
             defaults={"num_frames": 2, "num_inference_steps": 2,
@@ -129,17 +128,9 @@ class TestBatchingService:
                 io.BytesIO(base64.b64decode(results[1]["frames"][0]))))
         assert not np.array_equal(a, b)
 
-    def test_incompatible_shapes_split_batches(self):
+    def test_incompatible_shapes_split_batches(self, pipe):
         from vdx.serving.server import BatchingGenerationService
 
-        pipe = AnimateDiffPipeline.with_random_params(
-            seed=0,
-            unet_config=UNetMotionConfig.tiny(),
-            vae_config=VAEConfig.tiny(),
-            text_config=CLIPTextConfig.tiny(),
-            policy=FP32_POLICY,
-            scheduler="ddim",
-        )
         svc = BatchingGenerationService(
             pipe,
             defaults={"num_frames": 2, "num_inference_steps": 2,

@@ -7,54 +7,45 @@ import optax
 import pytest
 
 from vdx.core.dtypes import FP32_POLICY
+from vdx.core.init import fast_init
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.parallel.train import TrainState, make_train_step
 
 
 class TestTraining:
-    def test_loss_decreases(self):
-        """A few adamw steps on a fixed batch must reduce the DDPM loss."""
+    def test_loss_decreases_and_grads_flow(self):
+        """ONE compiled train step proves both training properties.
+
+        (a) a few adamw steps on a fixed batch reduce the DDPM loss, and
+        (b) no dead parameters: every leaf gets a nonzero gradient on the
+        first step (grad_absmax metric). Merged into one test because the
+        train-step compile dominates wall-clock on the 1-core CPU runner.
+        """
         cfg = UNetMotionConfig.tiny()
         model = UNetMotion(cfg, policy=FP32_POLICY)
         B, F, H, W = 2, 2, 16, 16
         latents = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4)) * 0.5
         ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim))
-        params = model.init(
-            jax.random.PRNGKey(2), latents, jnp.zeros((B,), jnp.int32), ctx
-        )
+        params = fast_init(model, latents, jnp.zeros((B,), jnp.int32), ctx, seed=2)
         optimizer = optax.adamw(3e-4)
         state = TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-        step = jax.jit(make_train_step(model, optimizer))
+        step = jax.jit(make_train_step(model, optimizer, with_grad_stats=True))
 
         batch = {"latents": latents, "context": ctx}
         losses = []
+        first_grads = None
         for i in range(8):
             # fixed rng: same (t, noise) every step => pure optimisation signal
             state, metrics = step(state, batch, jax.random.PRNGKey(42))
             losses.append(float(metrics["loss"]))
+            if first_grads is None:
+                first_grads = metrics["grad_absmax"]
         assert losses[-1] < losses[0] * 0.9, losses
 
-    def test_grads_flow_to_every_param(self):
-        """No dead parameters: every leaf gets a nonzero gradient somewhere."""
-        cfg = UNetMotionConfig.tiny()
-        model = UNetMotion(cfg, policy=FP32_POLICY)
-        B, F, H, W = 1, 2, 16, 16
-        latents = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4))
-        ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim))
-        params = model.init(
-            jax.random.PRNGKey(2), latents, jnp.zeros((B,), jnp.int32), ctx
-        )
-
-        def loss_fn(p):
-            t = jnp.full((B,), 400, jnp.int32)
-            out = model.apply(p, latents, t, ctx)
-            return jnp.mean(out.astype(jnp.float32) ** 2)
-
-        grads = jax.grad(loss_fn)(params)
         zero_leaves = [
             "/".join(str(k) for k in path)
-            for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]
-            if float(jnp.abs(g).max()) == 0.0
+            for path, g in jax.tree_util.tree_flatten_with_path(first_grads)[0]
+            if float(g) == 0.0
         ]
         assert not zero_leaves, zero_leaves[:10]
 

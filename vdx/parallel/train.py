@@ -23,11 +23,15 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig()):
+def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(),
+                    with_grad_stats: bool = False):
     """Returns train_step(state, batch, rng) -> (state, metrics).
 
     batch: {"latents": [B, F, h, w, C] clean latents,
             "context": [B, S, D] text conditioning}
+    with_grad_stats=True adds metrics["grad_absmax"], a pytree of per-leaf
+    |grad| maxima — dead-parameter / divergence diagnostics (and it lets the
+    training tests assert gradient flow without compiling a second program).
     """
     acp = jnp.asarray(make_alphas_cumprod(schedule))
     T = schedule.num_train_timesteps
@@ -49,7 +53,12 @@ def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(
         )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+        metrics = {"loss": loss}
+        if with_grad_stats:
+            metrics["grad_absmax"] = jax.tree.map(
+                lambda g: jnp.max(jnp.abs(g)), grads
+            )
+        return TrainState(params, opt_state, state.step + 1), metrics
 
     return train_step
 
