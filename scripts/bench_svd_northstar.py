@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""SVD north-star probe: 25f img2vid @576x1024, 25 EDM steps, single chip.
+
+BASELINE.md north star: <10 s wall-clock on v5e-8 (8 chips). This measures
+the single-chip datapoint (round 1: 63.4 s) with the current kernel stack.
+Methodology per PERF.md: fresh image per timed run, host materialisation,
+compile excluded (first call), bf16 production config.
+
+Usage: python -u scripts/bench_svd_northstar.py [runs]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+
+def main():
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    import jax.numpy as jnp
+
+    from vdx.core.cache import enable_compilation_cache
+    from vdx.core.dtypes import Policy
+    from vdx.models.clip_vision import CLIPVisionConfig
+    from vdx.models.svd_unet import SVDUNetConfig
+    from vdx.models.vae import VAEConfig
+    from vdx.pipelines.svd import SVDImg2VidPipeline
+
+    enable_compilation_cache()
+    print("backend:", jax.default_backend(), flush=True)
+    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    t0 = time.time()
+    pipe = SVDImg2VidPipeline.with_random_params(
+        seed=0,
+        unet_config=SVDUNetConfig.svd(),
+        vae_config=VAEConfig.sd15(),
+        vision_config=CLIPVisionConfig.vit_h(),
+        policy=policy,
+    )
+    print(f"init: {time.time() - t0:.1f} s", flush=True)
+
+    def fresh(i):
+        rng = np.random.default_rng(i)
+        return rng.random((576, 1024, 3)).astype(np.float32)
+
+    kw = dict(num_frames=25, height=576, width=1024, num_inference_steps=25,
+              decode_chunk=5, seed=3, output_type="np")
+    t0 = time.time()
+    out = pipe(fresh(0), **kw)
+    print(f"compile+first: {time.time() - t0:.1f} s "
+          f"(frames {out.frames[0].shape})", flush=True)
+    times = []
+    for i in range(1, runs + 1):
+        img = fresh(i)
+        t0 = time.time()
+        out = pipe(img, **kw)
+        assert out.frames[0].dtype == np.uint8
+        times.append(time.time() - t0)
+        print(f"run {i}: {times[-1]:.1f} s", flush=True)
+    best = min(times)
+    print(f"BEST: {best:.1f} s/video single-chip "
+          f"({25 / best:.2f} frames/s; 8-chip linear projection "
+          f"{best / 8:.1f} s vs <10 s target)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

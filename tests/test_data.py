@@ -119,8 +119,8 @@ class TestEncodeAndTrain:
         cfg = UNetMotionConfig.tiny()
         model = UNetMotion(cfg, policy=FP32_POLICY)
         ctx = jnp.zeros((2, 7, cfg.cross_attention_dim))
-        params = model.init(
-            jax.random.PRNGKey(1), latents, jnp.zeros((2,), jnp.int32), ctx)
+        params = fast_init(model, latents, jnp.zeros((2,), jnp.int32), ctx,
+                           seed=1)
         state, opt = init_train_state(model, params)
         step = jax.jit(make_train_step(model, opt))
         state2, m = step(state, {"latents": latents, "context": ctx},

@@ -178,8 +178,7 @@ class TestSpatialTiledDecode:
 
         cfg = VAEConfig.tiny()
         vae = AutoencoderKL(cfg)
-        params = vae.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+        params = fast_init(vae, jnp.zeros((1, 32, 32, 3)), seed=0)
         return cfg, vae, params
 
     def test_blend_exact_for_local_decoder(self):
