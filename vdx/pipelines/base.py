@@ -198,12 +198,15 @@ class VideoDiffusionPipeline:
     # ------------------------------------------------------------------
     # Compiled stages
     # ------------------------------------------------------------------
-    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool, latent_shape):
+    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool,
+                    latent_shape, jit_wrap: bool = True):
         """Build the jitted noise+scan program (cached per signature).
 
         Latent noise is generated INSIDE the jit from the key — on
         remote-dispatch TPU backends every host-side op is a round trip, so
-        the whole sample path must be one program.
+        the whole sample path must be one program. jit_wrap=False returns
+        the raw function for composition into the single-program generate
+        path (_generate_fn).
         """
         sampler = get_sampler(scheduler)
         tables = sampler.make_tables(num_steps)
@@ -214,7 +217,7 @@ class VideoDiffusionPipeline:
             raise ValueError("PAB turbo mode supports ddim/euler samplers")
         if pab is not None:
             return self._denoise_fn_pab(num_steps, sampler, tables, guidance, pab,
-                                        latent_shape), tables
+                                        latent_shape, jit_wrap=jit_wrap), tables
 
         unet_apply = self._sharded_unet_apply or unet.apply
         mesh = self.mesh
@@ -254,10 +257,10 @@ class VideoDiffusionPipeline:
             out, _ = jax.lax.scan(body, init, jnp.arange(num_steps))
             return out[0] if is_dpm else out
 
-        return jax.jit(denoise), tables
+        return (jax.jit(denoise) if jit_wrap else denoise), tables
 
     def _denoise_fn_pab(self, num_steps, sampler, tables, guidance, pab,
-                        latent_shape):
+                        latent_shape, jit_wrap: bool = True):
         """PAB variant: step 0 populates the attention cache (outside the
         scan so the carry structure exists); steps 1..N-1 scan with the
         cache threaded through the carry and per-type refresh flags."""
@@ -310,13 +313,13 @@ class VideoDiffusionPipeline:
             )
             return latents
 
-        return jax.jit(denoise)
+        return jax.jit(denoise) if jit_wrap else denoise
 
-    def _decode_fn(self, chunk: int):
+    def _decode_fn(self, chunk: int, jit_wrap: bool = True):
         # cached in self._compiled (an lru_cache on the bound method would
         # pin the pipeline instance for the process lifetime)
         key = ("decode", chunk)
-        if key in self._compiled:
+        if jit_wrap and key in self._compiled:
             return self._compiled[key]
         vae = self.vae
 
@@ -341,8 +344,29 @@ class VideoDiffusionPipeline:
                 out_specs=P("frames"), check_vma=False,
             )(decode)
 
+        if not jit_wrap:
+            return decode
         self._compiled[key] = jax.jit(decode)
         return self._compiled[key]
+
+    def _generate_fn(self, num_steps: int, scheduler: str, guidance: bool,
+                     latent_shape, chunk: int):
+        """The WHOLE per-request sample path as ONE jitted program:
+        noise -> CFG denoise scan -> chunked VAE decode -> uint8 frames.
+
+        One device dispatch per generation instead of two (the tunnel
+        charges a round trip per program; PERF.md methodology), and the
+        latents never surface to the host between stages."""
+        denoise_raw, _ = self._denoise_fn(
+            num_steps, scheduler, guidance, latent_shape, jit_wrap=False
+        )
+        decode_raw = self._decode_fn(chunk, jit_wrap=False)
+
+        def generate(unet_params, vae_params, key, context, guidance_scale):
+            latents = denoise_raw(unet_params, key, context, guidance_scale)
+            return latents, decode_raw(vae_params, latents[0])
+
+        return jax.jit(generate)
 
     def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
         """-> [2, 77, D] context, ordered (uncond, cond) like the CFG split."""
@@ -387,25 +411,33 @@ class VideoDiffusionPipeline:
                 f"frame_shards={self.frame_shards}"
             )
         latent_shape = (1, num_frames, h, w, self.unet.config.in_channels)
-        cache_key = ("denoise", num_inference_steps, scheduler, guidance,
-                     latent_shape, context.shape, self.pab)
-        if cache_key not in self._compiled:
-            self._compiled[cache_key], _ = self._denoise_fn(
-                num_inference_steps, scheduler, guidance, latent_shape
-            )
-        denoise = self._compiled[cache_key]
-        latents = denoise(
-            self.params["unet"], as_key(seed), context, jnp.float32(guidance_scale)
-        )
-
         if output_type == "latent":
+            cache_key = ("denoise", num_inference_steps, scheduler, guidance,
+                         latent_shape, context.shape, self.pab)
+            if cache_key not in self._compiled:
+                self._compiled[cache_key], _ = self._denoise_fn(
+                    num_inference_steps, scheduler, guidance, latent_shape
+                )
+            latents = self._compiled[cache_key](
+                self.params["unet"], as_key(seed), context,
+                jnp.float32(guidance_scale),
+            )
             return PipelineOutput(frames=[], latents=latents)
 
         local_frames = num_frames // self.frame_shards
         chunk = max(1, min(decode_chunk, local_frames))
         while local_frames % chunk:
             chunk -= 1
-        frames_u8 = self._decode_fn(chunk)(self.params["vae"], latents[0])
+        cache_key = ("generate", num_inference_steps, scheduler, guidance,
+                     latent_shape, context.shape, self.pab, chunk)
+        if cache_key not in self._compiled:
+            self._compiled[cache_key] = self._generate_fn(
+                num_inference_steps, scheduler, guidance, latent_shape, chunk
+            )
+        latents, frames_u8 = self._compiled[cache_key](
+            self.params["unet"], self.params["vae"], as_key(seed), context,
+            jnp.float32(guidance_scale),
+        )
         frames_np = np.asarray(frames_u8)
 
         if output_type == "np":
