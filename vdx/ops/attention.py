@@ -114,7 +114,13 @@ def dot_product_attention(
             # softmax (scale*log2e folded into q) is another 7% on top.
             from vdx.kernels.flash_attention import flash_attention_dt
 
-            return flash_attention_dt(q, k, v, scale=scale, exp_impl="exp2")
+            # block_q spanning the whole sequence (grid = kv steps only)
+            # measures 7% faster than 1024x1024 at the level-0 shape
+            # (PERF.md block sweep); block_q is clamped to S internally.
+            return flash_attention_dt(
+                q, k, v, scale=scale, block_q=4096, block_k=1024,
+                exp_impl="exp2",
+            )
         from vdx.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
