@@ -6,11 +6,15 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def load_pipeline(tiny: bool = False, scheduler: str = "ddim"):
+def load_pipeline(tiny: bool = False, scheduler: str = "ddim",
+                  variable_steps: int = 50):
     """Full (bf16 SD-1.5) or tiny (fp32 CI) AnimateDiff pipeline.
 
     Weights: converted checkpoints when available (core.convert), otherwise
     seeded random init — the zero-egress build environment has no model hub.
+    variable_steps (default 50 >= the grid's max step count, reference
+    05:47): ONE step-count-agnostic compiled program serves all six step
+    counts of the grid search instead of six multi-minute compiles.
     """
     import jax.numpy as jnp
 
@@ -32,8 +36,10 @@ def load_pipeline(tiny: bool = False, scheduler: str = "ddim"):
             text_config=CLIPTextConfig.tiny(),
             policy=FP32_POLICY,
             scheduler=scheduler,
+            variable_steps=variable_steps,
         )
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     return AnimateDiffPipeline.with_random_params(
-        seed=0, policy=policy, scheduler=scheduler
+        seed=0, policy=policy, scheduler=scheduler,
+        variable_steps=variable_steps,
     )

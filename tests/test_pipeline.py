@@ -65,3 +65,43 @@ class TestPipeline:
         frames = out.frames[0]
         assert len(frames) == 4
         assert frames[0].size == (64, 64)
+
+
+class TestVariableSteps:
+    def test_one_program_serves_multiple_step_counts(self):
+        """variable_steps pipeline == per-step-count programs, numerically.
+
+        The padded-tables + cond-skip program must reproduce the static
+        program's output for every step count (and compile ONCE: the
+        compiled-cache must hold a single var_generate entry afterwards)."""
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        kw = dict(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        static = AnimateDiffPipeline.with_random_params(seed=0, **kw)
+        var = AnimateDiffPipeline.with_random_params(
+            seed=0, variable_steps=4, **kw
+        )
+        gen = dict(num_frames=2, height=64, width=64, output_type="np")
+        for scheduler in ("ddim", "euler"):
+            for steps in (2, 3):
+                a = static(
+                    "portrait", num_inference_steps=steps, seed=9,
+                    scheduler=scheduler, **gen,
+                ).frames[0]
+                b = var(
+                    "portrait", num_inference_steps=steps, seed=9,
+                    scheduler=scheduler, **gen,
+                ).frames[0]
+                diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+                assert diff.max() <= 1, (scheduler, steps, diff.max())
+        var_keys = [k for k in var._compiled if k[0] == "var_generate"]
+        assert len(var_keys) == 2  # one per scheduler, NOT per step count

@@ -86,7 +86,13 @@ class VideoDiffusionPipeline:
         pab: "PABConfig | None" = None,
         frame_shards: int = 1,
         mesh=None,
+        variable_steps: int = 0,
     ):
+        # variable_steps=N > 0: compile ONE step-count-agnostic generate
+        # program (padded tables + lax.cond-skipped steps, max N steps)
+        # instead of one program per step count — the right mode for
+        # step-count sweeps (grid search) and mixed-step serving.
+        self.variable_steps = variable_steps
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
@@ -349,6 +355,76 @@ class VideoDiffusionPipeline:
         self._compiled[key] = jax.jit(decode)
         return self._compiled[key]
 
+    def _denoise_fn_var(self, scheduler: str, guidance: bool, latent_shape,
+                        max_steps: int, jit_wrap: bool = True):
+        """Step-count-AGNOSTIC denoise program.
+
+        The static program bakes the scheduler tables in as constants, so
+        every step count is its own multi-minute compile (the reference
+        study sweeps SIX counts, 05:40-51 — ~25 min of compiles per grid
+        run, PERF.md). Here the tables are runtime arguments padded to
+        ``max_steps`` (schedulers.common.pad_tables) and the scan runs
+        ``max_steps`` iterations with ``lax.cond(i < n, step, identity)``
+        — the UNet branch only executes for real steps, so padding costs
+        microseconds and ONE compile serves every (ddim/euler) step count
+        and guidance scale.
+        """
+        sampler = get_sampler(scheduler)
+        assert not scheduler.startswith("dpm"), "dpm multistep carries state"
+        assert self.pab is None, "PAB program is per-step-count"
+        unet_apply = self._sharded_unet_apply or self.unet.apply
+        mesh = self.mesh
+
+        def denoise(unet_params, key, context, guidance_scale, tables, n):
+            latents = (
+                jax.random.normal(key, latent_shape, dtype=jnp.float32)
+                * tables.init_noise_sigma
+            )
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                latents = jax.lax.with_sharding_constraint(
+                    latents, NamedSharding(mesh, P(None, "frames"))
+                )
+
+            def body(lat, i):
+                def real(lat):
+                    model_in = (
+                        jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                    )
+                    model_in = sampler.scale_model_input(model_in, i, tables)
+                    t_b = jnp.broadcast_to(
+                        tables.timesteps[i], (model_in.shape[0],)
+                    )
+                    eps = unet_apply(unet_params, model_in, t_b, context)
+                    if guidance:
+                        u, c = jnp.split(eps, 2, axis=0)
+                        eps = u + guidance_scale * (c - u)
+                    return sampler.step(lat, eps, i, tables)
+
+                return jax.lax.cond(i < n, real, lambda l: l, lat), None
+
+            out, _ = jax.lax.scan(body, latents, jnp.arange(max_steps))
+            return out
+
+        return jax.jit(denoise) if jit_wrap else denoise
+
+    def _generate_fn_var(self, scheduler: str, guidance: bool, latent_shape,
+                         chunk: int, max_steps: int):
+        """Variable-steps single-program generate (see _generate_fn)."""
+        denoise_raw = self._denoise_fn_var(
+            scheduler, guidance, latent_shape, max_steps, jit_wrap=False
+        )
+        decode_raw = self._decode_fn(chunk, jit_wrap=False)
+
+        def generate(unet_params, vae_params, key, context, guidance_scale,
+                     tables, n):
+            latents = denoise_raw(unet_params, key, context, guidance_scale,
+                                  tables, n)
+            return latents, decode_raw(vae_params, latents[0])
+
+        return jax.jit(generate)
+
     def _generate_fn(self, num_steps: int, scheduler: str, guidance: bool,
                      latent_shape, chunk: int):
         """The WHOLE per-request sample path as ONE jitted program:
@@ -428,16 +504,43 @@ class VideoDiffusionPipeline:
         chunk = max(1, min(decode_chunk, local_frames))
         while local_frames % chunk:
             chunk -= 1
-        cache_key = ("generate", num_inference_steps, scheduler, guidance,
-                     latent_shape, context.shape, self.pab, chunk)
-        if cache_key not in self._compiled:
-            self._compiled[cache_key] = self._generate_fn(
-                num_inference_steps, scheduler, guidance, latent_shape, chunk
-            )
-        latents, frames_u8 = self._compiled[cache_key](
-            self.params["unet"], self.params["vae"], as_key(seed), context,
-            jnp.float32(guidance_scale),
+        use_var = (
+            self.variable_steps > 0
+            and self.pab is None
+            and not scheduler.startswith("dpm")
+            and num_inference_steps <= self.variable_steps
         )
+        if use_var:
+            from vdx.schedulers.common import pad_tables
+
+            cache_key = ("var_generate", scheduler, guidance, latent_shape,
+                         context.shape, chunk, self.variable_steps)
+            if cache_key not in self._compiled:
+                self._compiled[cache_key] = self._generate_fn_var(
+                    scheduler, guidance, latent_shape, chunk,
+                    self.variable_steps,
+                )
+            tables = pad_tables(
+                get_sampler(scheduler).make_tables(num_inference_steps),
+                num_inference_steps, self.variable_steps,
+            )
+            latents, frames_u8 = self._compiled[cache_key](
+                self.params["unet"], self.params["vae"], as_key(seed),
+                context, jnp.float32(guidance_scale), tables,
+                jnp.int32(num_inference_steps),
+            )
+        else:
+            cache_key = ("generate", num_inference_steps, scheduler, guidance,
+                         latent_shape, context.shape, self.pab, chunk)
+            if cache_key not in self._compiled:
+                self._compiled[cache_key] = self._generate_fn(
+                    num_inference_steps, scheduler, guidance, latent_shape,
+                    chunk,
+                )
+            latents, frames_u8 = self._compiled[cache_key](
+                self.params["unet"], self.params["vae"], as_key(seed), context,
+                jnp.float32(guidance_scale),
+            )
         frames_np = np.asarray(frames_u8)
 
         if output_type == "np":

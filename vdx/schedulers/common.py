@@ -110,3 +110,31 @@ def pred_x0_and_eps(
     else:
         raise ValueError(f"unknown prediction_type: {prediction_type}")
     return x0, eps
+
+
+def pad_tables(tables, num_steps: int, max_steps: int):
+    """Edge-pad every per-step leaf so tables become a RUNTIME argument.
+
+    Turns an N-step table pytree (NamedTuple of [N] or [N+k] arrays plus
+    python scalars) into a max_steps-shaped one: array leaves gain
+    (max_steps - num_steps) edge-repeated rows, scalars become jnp fp32.
+    With steps i >= num_steps skipped via ``lax.cond`` in the pipeline's
+    variable-steps denoise program, the padded entries are never used — the
+    padding only fixes the SHAPES so one compiled program serves every step
+    count (the reference study's 6 step counts would otherwise be 6
+    compiles; experiments/05 grids at 05:40-51).
+    """
+    import jax.numpy as _jnp
+
+    extra = max_steps - num_steps
+    if extra < 0:
+        raise ValueError(f"num_steps {num_steps} > max_steps {max_steps}")
+    out = {}
+    for name, leaf in tables._asdict().items():
+        a = np.asarray(leaf)
+        if a.ndim >= 1:
+            a = np.pad(a, [(0, extra)] + [(0, 0)] * (a.ndim - 1), mode="edge")
+            out[name] = _jnp.asarray(a)
+        else:
+            out[name] = _jnp.asarray(a, _jnp.float32)
+    return type(tables)(**out)
