@@ -98,6 +98,17 @@ class TestFrameSharded:
             b.astype(np.int32), a.astype(np.int32), atol=1
         )
 
+        # variable-steps program composed with frame sharding: the padded
+        # cond-skip scan + shard_map decode must still match the local
+        # pipeline for a step count below the program's max.
+        sharded_var = AnimateDiffPipeline.with_random_params(
+            frame_shards=4, variable_steps=4, **kwargs
+        )
+        c = sharded_var("portrait", **gen).frames[0]
+        np.testing.assert_allclose(
+            c.astype(np.int32), a.astype(np.int32), atol=1
+        )
+
     def test_output_shape_sharding(self, setup):
         """Output keeps the input's frame sharding over the mesh axis."""
         from jax.sharding import NamedSharding, PartitionSpec as P
