@@ -11,6 +11,7 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -18,13 +19,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
-    from vdx.harness.grid import measure_experiments
-
     p = argparse.ArgumentParser(description="Measure grid search experiments")
     p.add_argument("--input", default="outputs/05_grid_search")
     p.add_argument("--output", default="outputs/06_grid_search_metrics")
     p.add_argument("--filter", default=None)
+    p.add_argument(
+        "--device", choices=["auto", "cpu", "tpu"], default="auto",
+        help="metric backend. auto: CPU when the only TPU is a remote-"
+        "dispatch tunnel (its per-dispatch latency dominates these small "
+        "per-video programs — measured 8.5 s/exp tunneled vs ~3 s CPU); "
+        "device TPU otherwise.",
+    )
     args = p.parse_args()
+
+    if args.device == "cpu" or (
+        args.device == "auto" and os.environ.get("PALLAS_AXON_POOL_IPS")
+    ):
+        # must happen before jax backend init (measure_experiments imports jax)
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from vdx.harness.grid import measure_experiments
 
     input_dir = Path(args.input)
     if not input_dir.exists():
