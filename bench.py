@@ -49,6 +49,18 @@ def _run() -> None:
     from vdx.pipelines import AnimateDiffPipeline
 
     enable_compilation_cache()  # second-process runs skip the 200+ s scan compile
+
+    # Tunnel warm-up, measured separately: the remote-dispatch backend pays
+    # a large one-time cost on the FIRST device->host transfer of a process
+    # (~70 s measured, scripts/bench_startup_floor.py) — a property of the
+    # tunnel, not of the framework's init or compile.
+    import numpy as np
+
+    t0 = time.time()
+    warm = jax.device_put(np.ones((8, 8), np.float32))
+    np.asarray(jax.jit(lambda a: a * 2)(warm))
+    tunnel_warmup_s = time.time() - t0
+
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
     pipe = AnimateDiffPipeline.with_random_params(
@@ -94,6 +106,7 @@ def _run() -> None:
         "sec_per_video": round(sec_per_video, 3),
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
+        "tunnel_warmup_s": round(tunnel_warmup_s, 1),
         "backend": jax.default_backend(),
     }
     print(json.dumps(result))

@@ -28,6 +28,9 @@ def main():
     p.add_argument("--output", default="outputs/05_grid_search")
     p.add_argument("--tiny", action="store_true", help="tiny configs (CI smoke)")
     p.add_argument("--yes", action="store_true", help="skip confirmation prompt")
+    p.add_argument("--step-progress", action="store_true",
+                   help="log every denoise step (streams from inside the "
+                        "fused scan via jax.debug.callback)")
     args = p.parse_args()
 
     output_dir = Path(args.output)
@@ -66,11 +69,13 @@ def main():
         grid_mod_plan = grid_mod.plan_grid_search
         grid_mod.plan_grid_search = tiny_plan
         try:
-            configs = run_grid_search(pipe, args.phase, args.video, output_dir)
+            configs = run_grid_search(pipe, args.phase, args.video, output_dir,
+                                      step_progress=args.step_progress)
         finally:
             grid_mod.plan_grid_search = grid_mod_plan
     else:
-        configs = run_grid_search(pipe, args.phase, args.video, output_dir)
+        configs = run_grid_search(pipe, args.phase, args.video, output_dir,
+                                  step_progress=args.step_progress)
     generate_manifest(output_dir)
     print(f"\nTotal time: {datetime.now() - start}")
     print(f"Experiments: {len(configs)}")

@@ -82,6 +82,38 @@ def test_flash_dt_exp2_paths_match_xla(exp_impl):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=atol)
 
 
+def test_flash_dt_exp2_bf16_matches_xla():
+    """The PRODUCTION path: bf16 q/k/v through the default exp2 dispatch.
+
+    The scale*log2e fold is computed fp32 and rounded once to bf16, so the
+    end-to-end error vs an fp32 reference stays within plain bf16-matmul
+    tolerance (~1e-2 for unit-normal inputs at D=40)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention_dt
+
+    key = jax.random.PRNGKey(5)
+    B, S, H, D = 2, 256, 2, 40
+    qf = jax.random.normal(key, (B, S, H, D), jnp.float32)
+    kf = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D), jnp.float32)
+    vf = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D), jnp.float32)
+    scale = D**-0.5
+    # reference: the SAME bf16-rounded inputs through the exact fp32 path
+    q, k, v = (x.astype(jnp.bfloat16) for x in (qf, kf, vf))
+    expected = _xla_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        scale, None,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_dt(
+            q, k, v, scale=scale, block_q=128, block_k=128, exp_impl="exp2"
+        )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expected), atol=2e-2
+    )
+
+
 def test_fast_exp2_accuracy():
     """_fast_exp2 vs exp2 over the full negative domain incl. the clamp."""
     from vdx.kernels.flash_attention import _fast_exp2

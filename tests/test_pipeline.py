@@ -103,5 +103,8 @@ class TestVariableSteps:
                 ).frames[0]
                 diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
                 assert diff.max() <= 1, (scheduler, steps, diff.max())
-        var_keys = [k for k in var._compiled if k[0] == "var_generate"]
+        var_keys = [
+            k for k in var._compiled
+            if k[0] == "prog" and ("var", 4) in k
+        ]
         assert len(var_keys) == 2  # one per scheduler, NOT per step count

@@ -121,9 +121,9 @@ def run_batched_experiments(
             dchunk = max(1, min(decode_chunk, F))
             while F % dchunk:
                 dchunk -= 1
-            decode = pipe._decode_fn(dchunk)
+            decode = pipe._get_decode(dchunk)
             for i, cfg in enumerate(chunk_cfgs):
-                frames = np.asarray(decode(pipe.params["vae"], latents[i, 0]))
+                frames = np.asarray(decode(pipe.params, latents[i]))[0]
                 from PIL import Image
 
                 pil = [Image.fromarray(f) for f in frames]

@@ -140,10 +140,18 @@ def run_grid_search(
     video_filter: Optional[str] = None,
     output_dir: Path = Path("outputs/05_grid_search"),
     log=print,
+    step_progress: bool = False,
 ) -> List[ExperimentConfig]:
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     configs = plan_grid_search(phase, video_filter)
+    if step_progress and getattr(pipe, "progress_callback", None) is None:
+        # Per-step progress from INSIDE the fused denoise scan
+        # (jax.debug.callback — SURVEY §7e): the program stays one dispatch;
+        # steps stream to the log as the scan executes on device.
+        # NOTE: must be set before the first __call__ — the callback's
+        # presence is part of the compiled-program signature.
+        pipe.progress_callback = lambda i, n: log(f"    step {i + 1}/{n}")
     for config in configs:
         _run_one(pipe, config, output_dir, log)
     return configs

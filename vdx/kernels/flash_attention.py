@@ -210,8 +210,10 @@ def flash_attention_dt(
     if exp_impl != "exp":
         # Base-2 softmax: fold scale * log2(e) into q once (one cheap XLA
         # pass over [BH, D, S]) so the kernel's scores live in the log2
-        # domain and 2^x replaces e^x with identical results.
-        qt = qt * jnp.asarray(scale * LOG2E, qt.dtype)
+        # domain and 2^x replaces e^x with identical results. The product
+        # is computed in fp32 and rounded ONCE back to q's dtype — a bf16
+        # constant would truncate scale*log2e itself before the multiply.
+        qt = (qt.astype(jnp.float32) * (scale * LOG2E)).astype(qt.dtype)
         kscale = 1.0
     else:
         kscale = scale

@@ -139,9 +139,11 @@ class TransformerSpatioTemporal(nn.Module):
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
     temporal_impl: str = "local"
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int):
+    def __call__(self, x, context, num_frames: int, refresh=None):
+        r = refresh or {}
         BF, H, W, C = x.shape
         B = BF // num_frames
         residual = x
@@ -154,15 +156,17 @@ class TransformerSpatioTemporal(nn.Module):
         hs = h.reshape(BF, H * W, C)
         hs = BasicTransformerBlock(
             C, self.heads, self.head_dim, context_dim=self.context_dim,
-            policy=self.policy, attn_impl=self.attn_impl, name="spatial_block",
-        )(hs, context)
+            policy=self.policy, attn_impl=self.attn_impl, pab=self.pab,
+            name="spatial_block",
+        )(hs, context, refresh_self=r.get("spatial"),
+          refresh_cross=r.get("cross"))
 
         # temporal block over [B*H*W, F, C]
         ht = hs.reshape(B, num_frames, H * W, C).transpose(0, 2, 1, 3)
         ht = ht.reshape(B * H * W, num_frames, C)
         ht = TemporalBlock(C, self.heads, self.head_dim, policy=self.policy,
-                           temporal_impl=self.temporal_impl,
-                           name="temporal_block")(ht)
+                           temporal_impl=self.temporal_impl, pab=self.pab,
+                           name="temporal_block")(ht, refresh=r.get("temporal"))
         ht = ht.reshape(B, H * W, num_frames, C).transpose(0, 2, 1, 3)
         ht = ht.reshape(BF, H * W, C)
 
@@ -178,8 +182,11 @@ class UNetSpatioTemporal(nn.Module):
     attn_impl: str = "auto"
     # "local" or "ring:<axis>" — frame-sharded execution (parallel/frame_parallel)
     temporal_impl: str = "local"
+    # Pyramid Attention Broadcast (pipelines/base.py builds the schedule)
+    pab: bool = False
 
-    def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
+    def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
+               refresh=None):
         cfg = self.config
         x = SpatioTemporalResBlock(
             channels, policy=self.policy, temporal_impl=self.temporal_impl,
@@ -191,8 +198,8 @@ class UNetSpatioTemporal(nn.Module):
                 heads=heads, head_dim=channels // heads,
                 context_dim=cfg.cross_attention_dim, policy=self.policy,
                 attn_impl=self.attn_impl, temporal_impl=self.temporal_impl,
-                name=f"{name}_attn",
-            )(x, context, num_frames)
+                pab=self.pab, name=f"{name}_attn",
+            )(x, context, num_frames, refresh=refresh)
         return x
 
     @nn.compact
@@ -204,6 +211,7 @@ class UNetSpatioTemporal(nn.Module):
         added_time_ids: jnp.ndarray,  # [B, 3]
         *,
         num_frames=None,
+        pab_refresh=None,  # {'spatial','cross','temporal'}: bool
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, Cin = sample.shape
@@ -237,14 +245,16 @@ class UNetSpatioTemporal(nn.Module):
         for bi, ch in enumerate(cfg.block_out_channels):
             for li in range(cfg.layers_per_block):
                 x = self._layer(x, temb, context, num_frames, ch,
-                                cfg.down_block_has_attn[bi], f"down_{bi}_{li}")
+                                cfg.down_block_has_attn[bi], f"down_{bi}_{li}",
+                                refresh=pab_refresh)
                 residuals.append(x)
             if bi < n - 1:
                 x = Downsample2D(ch, policy=self.policy, name=f"down_{bi}_downsample")(x)
                 residuals.append(x)
 
         mid_ch = cfg.block_out_channels[-1]
-        x = self._layer(x, temb, context, num_frames, mid_ch, True, "mid_0")
+        x = self._layer(x, temb, context, num_frames, mid_ch, True, "mid_0",
+                        refresh=pab_refresh)
         x = SpatioTemporalResBlock(
             mid_ch, policy=self.policy, temporal_impl=self.temporal_impl,
             name="mid_res_1",
@@ -255,7 +265,8 @@ class UNetSpatioTemporal(nn.Module):
                 skip = residuals.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._layer(x, temb, context, num_frames, ch,
-                                cfg.up_block_has_attn[bi], f"up_{bi}_{li}")
+                                cfg.up_block_has_attn[bi], f"up_{bi}_{li}",
+                                refresh=pab_refresh)
             if bi < n - 1:
                 x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)
 

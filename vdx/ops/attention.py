@@ -7,12 +7,15 @@ traces at experiments/03_trace_forward_pass.py:124-241). Shapes:
     q: [B, Sq, H, D]   k, v: [B, Skv, H, D]   ->   [B, Sq, H, D]
 
 Implementations:
-  * ``xla``    — einsum + fp32 softmax. XLA fuses this well for short
-                 sequences (temporal F<=32, cross-attn Skv=77).
-  * ``flash``  — Pallas TPU flash-attention kernel (kernels/flash_attention.py)
-                 for long spatial sequences (HW up to 4096+) where the naive
-                 S×S score tensor would blow HBM traffic.
-  * ``auto``   — flash on TPU when the shape qualifies, else xla.
+  * ``xla``       — einsum + EXACT fp32 softmax (probs stored fp32).
+  * ``xla_bf16p`` — fp32 softmax statistics, probs tensor stored bf16
+                    between the two matmuls (-18% at short-seq sites).
+  * ``flash``     — Pallas TPU flash-attention kernel
+                    (kernels/flash_attention.py) for long spatial sequences
+                    (HW up to 4096+) where the naive S×S score tensor would
+                    blow HBM traffic.
+  * ``auto``      — flash on TPU when the shape qualifies; xla_bf16p for
+                    maskless bf16 inputs; else xla.
 """
 
 from __future__ import annotations
@@ -93,13 +96,15 @@ def dot_product_attention(
     if impl == "auto":
         if mask is None and _flash_available() and _should_use_flash(q, k):
             impl = "flash"
-        else:
+        elif mask is None and v.dtype == jnp.bfloat16:
             # Temporal/motion sites (S = frame count <= 32) stay on the
             # XLA path: the block-diagonal Pallas kernels
             # (kernels/flash_attention.py blockdiag*) are measured SLOWER
             # than XLA+bf16probs at the level-0 shape — host-side folds /
             # in-VMEM transposes eat the padding win (PERF.md). Revisit if
             # Mosaic gains cheap tile transposes.
+            impl = "xla_bf16p"
+        else:
             impl = "xla"
 
     if impl == "blockdiag":
@@ -124,9 +129,12 @@ def dot_product_attention(
         from vdx.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    if impl == "xla_bf16p":
+        # bf16-prob fast path is only picked here or by explicit request —
+        # impl="xla" always means the exact fp32-softmax program.
+        assert mask is None, "bf16-prob path does not support masks"
+        return _xla_attention_bf16probs(q, k, v, scale)
     if impl == "xla":
-        if mask is None and v.dtype == jnp.bfloat16:
-            return _xla_attention_bf16probs(q, k, v, scale)
         return _xla_attention(q, k, v, scale, mask)
     if impl.startswith("ring:"):
         # Sequence-parallel ring attention: the S axis of q/k/v is a LOCAL

@@ -2,9 +2,11 @@
 
 The TPU-native rebuild of the pipeline object family the reference drives
 through diffusers (call sites: reference experiments/01_baseline_generation.py:100-105,
-05_grid_search_ablation.py:158-167). One base class hosts the compiled
-machinery; concrete pipelines (AnimateDiff / ModelScope UNet3D / Latte DiT,
-see the sibling modules) plug in their denoiser + text tower. Call surface:
+05_grid_search_ablation.py:158-167). ONE base class hosts the compiled
+machinery for EVERY family — AnimateDiff / ModelScope UNet3D / Latte DiT
+subclass it directly; SVD img2vid and CogVideoX plug into the same core
+through four small hooks (conditioning prep, denoiser args, latent
+channels, decode). Call surface:
 
     pipe(prompt, negative_prompt=..., num_frames=16, guidance_scale=7.5,
          num_inference_steps=25, height=512, width=512, seed=42)
@@ -18,15 +20,25 @@ TPU-first differences from the reference's torch path (SURVEY.md §2b):
   * VAE decode is frame-tiled inside XLA (``decode_frames_tiled``) instead
     of eager ``enable_vae_slicing``.
   * fp32 guidance/scheduler math around a bf16 UNet (core/dtypes policy).
+  * Scheduler tables are runtime arguments (cached device-side per
+    (scheduler, steps)), so re-tracing never re-uploads them.
 
 Compiled executables are cached per (shape, steps, sampler) signature.
+The machinery every family inherits from this core:
+  * single-program generate (noise -> denoise scan -> decode -> uint8)
+  * ``variable_steps=N`` — ONE step-count-agnostic program per sweep
+  * ``frame_shards=n`` — frame-axis sequence parallelism over a mesh
+  * PAB turbo mode (denoiser-permitting)
+  * multi-video batching: ``pipe([p1, p2], seed=[s1, s2])`` runs N videos
+    in one program, each bit-identical to its single call
+  * optional per-step progress callback (``jax.debug.callback``, off by
+    default — zero-cost when unset)
 """
 
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, List, Optional, Sequence, Union
+from typing import Any, Callable, List, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +51,7 @@ from vdx.models.tokenizer import load_tokenizer
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.models.vae import AutoencoderKL, VAEConfig
 from vdx.schedulers import get_sampler
+from vdx.schedulers.common import pad_tables
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +73,8 @@ class PABConfig:
 
 @dataclasses.dataclass
 class PipelineOutput:
-    """``frames[0]`` is the list of PIL frames for the first (only) video —
-    the exact access pattern of the reference (01:108, 05:169)."""
+    """``frames[i]`` is the list of PIL frames (or the uint8 array) for the
+    i-th video — the exact access pattern of the reference (01:108, 05:169)."""
 
     frames: List[Any]
     latents: Optional[jnp.ndarray] = None
@@ -72,6 +85,14 @@ class VideoDiffusionPipeline:
 
     denoiser_cls = UNetMotion
     denoiser_config_cls = UNetMotionConfig
+    #: key of the denoiser's param subtree in ``self.params``
+    denoiser_param_key = "unet"
+    #: number of conditioning tensors the denoiser takes after (sample, t)
+    n_denoiser_cond = 1
+    #: build the CFG pair regardless of guidance_scale (SVD's per-frame scale)
+    guidance_always = False
+    #: whether the denoiser supports frame sharding (``temporal_impl`` knob)
+    supports_frame_shards = True
 
     def __init__(
         self,
@@ -87,25 +108,40 @@ class VideoDiffusionPipeline:
         frame_shards: int = 1,
         mesh=None,
         variable_steps: int = 0,
+        progress: Optional[Callable[[int, int], None]] = None,
     ):
-        # variable_steps=N > 0: compile ONE step-count-agnostic generate
-        # program (padded tables + lax.cond-skipped steps, max N steps)
-        # instead of one program per step count — the right mode for
-        # step-count sweeps (grid search) and mixed-step serving.
-        self.variable_steps = variable_steps
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
             unet_kwargs["pab"] = True  # denoiser must support the pab flag
-        self.pab = pab
         self.unet = self.denoiser_cls(unet_config, **unet_kwargs)
         self.vae = AutoencoderKL(vae_config, policy=policy)
         self.text_encoder = CLIPTextModel(text_config, policy=policy)
         self.tokenizer = tokenizer or load_tokenizer()
         self.params = params
+        self._init_core(
+            unet_config, policy=policy, scheduler=scheduler,
+            attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
+            mesh=mesh, variable_steps=variable_steps, progress=progress,
+        )
+
+    def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
+                   pab, frame_shards, mesh, variable_steps, progress):
+        """Shared compiled-machinery state — called by every family's
+        ``__init__`` after it builds its components."""
         self.policy = policy
         self.scheduler = scheduler
+        self.pab = pab
+        # variable_steps=N > 0: compile ONE step-count-agnostic generate
+        # program (padded tables + lax.cond-skipped steps, max N steps)
+        # instead of one program per step count — the right mode for
+        # step-count sweeps (grid search) and mixed-step serving.
+        self.variable_steps = variable_steps
         self._compiled = {}
+        # Per-step progress callback (i, n) — wired through
+        # jax.debug.callback so the one-program invariant holds (SURVEY §7e).
+        # None => the callback is not traced into the program at all.
+        self.progress_callback = progress
         # Frame-axis sequence parallelism on the pipeline surface: the
         # denoise scan and VAE decode run frame-sharded over an n-device
         # mesh (ring temporal attention; spatial/cross ops shard-local).
@@ -116,15 +152,60 @@ class VideoDiffusionPipeline:
         self.mesh = None
         self._sharded_unet_apply = None
         if frame_shards > 1:
+            if not self.supports_frame_shards:
+                raise ValueError(
+                    f"{type(self).__name__} denoiser has no frame-sharded "
+                    "(ring) execution mode"
+                )
             assert pab is None, "frame sharding and PAB are mutually exclusive"
             from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
             from vdx.parallel.mesh import make_mesh
 
             self.mesh = mesh if mesh is not None else make_mesh(1, frame_shards, 1)
             _, self._sharded_unet_apply = make_frame_sharded_denoiser(
-                self.denoiser_cls, unet_config, self.mesh,
+                self.denoiser_cls, denoiser_config, self.mesh,
                 policy=policy, attn_impl=attn_impl,
+                n_conditioning=self.n_denoiser_cond,
             )
+
+    # ------------------------------------------------------------------
+    # Family hooks — override points for SVD / CogVideoX / future families
+    # ------------------------------------------------------------------
+    @property
+    def latent_channels(self) -> int:
+        """Channels of the DENOISED latent (may differ from the denoiser's
+        input channels when conditioning is channel-concatenated)."""
+        return self.unet.config.in_channels
+
+    def _prepare_cond(self, params, key, cond, latent_shape) -> dict:
+        """Turn the raw conditioning pytree into denoiser arguments — runs
+        INSIDE the compiled program (so image towers / VAE-encodes / RNG
+        all fuse into the one dispatch). Returns
+          den_args: tuple of conditioning tensors after (sample, t)
+          concat:   optional [2B or B, F, h, w, Cc] tensor channel-concat'd
+                    to the model input AFTER scale_model_input
+          key:      the PRNG key to draw the initial noise from
+        Default (text-to-video): ``cond`` is already the encoded context.
+        """
+        del params, latent_shape
+        return {"den_args": (cond,), "concat": None, "key": key}
+
+    def _decode_raw(self, chunk: int, **opts):
+        """Raw (untraced) latents->uint8 decoder: [B, F, h, w, C] ->
+        [B, F, H, W, 3]. Families with non-standard VAEs override this."""
+        assert not opts, f"unknown decode opts: {opts}"
+        vae = self.vae
+
+        def decode(params, latents):
+            B, F = latents.shape[:2]
+            z = latents.reshape(B * F // chunk, chunk, *latents.shape[2:])
+            imgs = jax.lax.map(
+                lambda c: vae.apply(params["vae"], c, method=vae.decode), z
+            )
+            imgs = imgs.reshape(B, F, *imgs.shape[2:])
+            return _to_uint8(imgs)
+
+        return decode
 
     # ------------------------------------------------------------------
     # Parameter initialisation / loading
@@ -152,14 +233,8 @@ class VideoDiffusionPipeline:
         template = self.params if self.params is not None else self.init_params()
         self.params = load_params(path, template=template)
 
-    def init_params(self, seed: int = 0, fast: bool = True) -> dict:
-        """Seeded random params.
-
-        fast=True builds leaves host-side from ``jax.eval_shape`` trees and
-        transfers them — avoiding compilation of the 1.3B-param init graph,
-        which is minutes-slow on remote-compile TPU backends. fast=False
-        uses the exact flax initializers (CPU tests, tiny configs).
-        """
+    def _init_calls(self, seed: int) -> dict:
+        """{component: (init_fn, args)} — the family's component inits."""
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
         F, H, W = 2, 64, 64
         sample = jnp.zeros((1, F, H // 8, W // 8, self.unet.config.in_channels))
@@ -167,110 +242,168 @@ class VideoDiffusionPipeline:
         ctx = jnp.zeros((1, 77, self.unet.config.cross_attention_dim))
         img = jnp.zeros((1, 64, 64, 3))
         ids = jnp.zeros((1, 77), jnp.int32)
-        if not fast:
-            return {
-                "unet": self.unet.init(k1, sample, t, ctx),
-                "vae": self.vae.init(k2, img),
-                "text": self.text_encoder.init(k3, ids),
-            }
-
-        import numpy as np
-
-        shapes = {
-            "unet": jax.eval_shape(self.unet.init, k1, sample, t, ctx),
-            "vae": jax.eval_shape(self.vae.init, k2, img),
-            "text": jax.eval_shape(self.text_encoder.init, k3, ids),
+        return {
+            "unet": (self.unet.init, (k1, sample, t, ctx)),
+            "vae": (self.vae.init, (k2, img)),
+            "text": (self.text_encoder.init, (k3, ids)),
         }
-        rng = np.random.default_rng(seed)
 
-        def build(tree):
-            flat = jax.tree_util.tree_flatten_with_path(tree)
-            out = []
-            for path, leaf in flat[0]:
-                name = str(getattr(path[-1], "key", path[-1])).lower()
-                if len(leaf.shape) >= 2:
-                    # fan-in-scaled normal keeps activations O(1) end to end
-                    fan_in = int(np.prod(leaf.shape[:-1]))
-                    a = rng.standard_normal(leaf.shape) * (1.0 / max(fan_in, 1)) ** 0.5
-                elif "scale" in name:
-                    a = np.ones(leaf.shape)
-                else:  # bias-like
-                    a = np.zeros(leaf.shape)
-                out.append(jnp.asarray(a.astype(np.float32), dtype=leaf.dtype))
-            return jax.tree.unflatten(flat[1], out)
+    def init_params(self, seed: int = 0, fast: bool = True) -> dict:
+        """Seeded random params.
 
-        return {k: build(v) for k, v in shapes.items()}
+        fast=True builds leaves host-side from ``jax.eval_shape`` trees and
+        transfers the WHOLE tree in one ``jax.device_put`` — avoiding both
+        compilation of the billion-param init graph (minutes-slow on
+        remote-compile TPU backends) and per-leaf transfers (each put pays
+        a tunnel round trip; scripts/bench_startup_floor.py measures
+        per-leaf puts 16x slower than one tree put). fast=False uses the
+        exact flax initializers (CPU tests, tiny configs).
+        """
+        calls = self._init_calls(seed)
+        if not fast:
+            return {name: fn(*args) for name, (fn, args) in calls.items()}
+        shapes = {
+            name: jax.eval_shape(fn, *args) for name, (fn, args) in calls.items()
+        }
+        return fast_tree_init(shapes, seed)
 
     # ------------------------------------------------------------------
     # Compiled stages
     # ------------------------------------------------------------------
-    def _denoise_fn(self, num_steps: int, scheduler: str, guidance: bool,
-                    latent_shape, jit_wrap: bool = True):
-        """Build the jitted noise+scan program (cached per signature).
+    def _get_tables(self, scheduler: str, num_steps: int, max_steps: int = 0):
+        """Device-resident scheduler tables, cached per signature.
 
-        Latent noise is generated INSIDE the jit from the key — on
-        remote-dispatch TPU backends every host-side op is a round trip, so
-        the whole sample path must be one program. jit_wrap=False returns
-        the raw function for composition into the single-program generate
-        path (_generate_fn).
+        max_steps>0 pads to the variable-steps program shape
+        (schedulers.common.pad_tables). Cached so per-request host work and
+        re-uploads are zero on the steady path."""
+        key = ("tables", scheduler, num_steps, max_steps)
+        if key not in self._compiled:
+            tables = get_sampler(scheduler).make_tables(num_steps)
+            self._compiled[key] = pad_tables(
+                tables, num_steps, max_steps or num_steps
+            )
+        return self._compiled[key]
+
+    def _noise_maker(self, latent_shape):
+        """Initial-noise builder. For B>1 the key is a stacked [B, 2] array
+        and each video draws from its own key — bit-identical to B single
+        calls with those seeds (the multi-prompt contract)."""
+        if latent_shape[0] == 1:
+            return lambda key: jax.random.normal(key, latent_shape, jnp.float32)
+        per_video = lambda k: jax.random.normal(  # noqa: E731
+            k, latent_shape[1:], jnp.float32
+        )
+        return lambda keys: jax.vmap(per_video)(keys)
+
+    def _emit_progress(self, i, n):
+        cb = self.progress_callback
+        if cb is not None:
+            cb(int(i), int(n))
+
+    def _denoise_raw(self, scheduler: str, guidance: bool, latent_shape,
+                     max_steps: int = 0, num_steps: int = 0):
+        """The denoise program body (unjitted, for composition).
+
+        Two modes sharing one step implementation:
+          static   (num_steps>0): scan over exactly num_steps; signature
+                   (params, key, cond, guidance_scale, tables)
+          variable (max_steps>0): scan over max_steps with
+                   ``lax.cond(i < n, step, identity)``; signature gains
+                   a trailing runtime ``n``. ONE compile serves every step
+                   count <= max_steps (the reference study sweeps SIX
+                   counts, 05:40-51 — each a multi-minute compile in
+                   static mode).
+
+        Scheduler tables are runtime args in BOTH modes (values cached
+        device-side by _get_tables), so programs never bake them in.
         """
         sampler = get_sampler(scheduler)
-        tables = sampler.make_tables(num_steps)
-        unet = self.unet
         is_dpm = scheduler.startswith("dpm")
-        pab = self.pab
-        if pab is not None and is_dpm:
-            raise ValueError("PAB turbo mode supports ddim/euler samplers")
-        if pab is not None:
-            return self._denoise_fn_pab(num_steps, sampler, tables, guidance, pab,
-                                        latent_shape, jit_wrap=jit_wrap), tables
-
-        unet_apply = self._sharded_unet_apply or unet.apply
+        variable = max_steps > 0
+        if variable:
+            assert not is_dpm, "dpm multistep carries state across steps"
+            assert self.pab is None, "PAB program is per-step-count"
+        unet_apply = self._sharded_unet_apply or self.unet.apply
         mesh = self.mesh
+        dkey = self.denoiser_param_key
+        make_noise = self._noise_maker(latent_shape)
+        progress = self.progress_callback is not None
 
-        def denoise(unet_params, key, context, guidance_scale):
-            latents = (
-                jax.random.normal(key, latent_shape, dtype=jnp.float32)
-                * tables.init_noise_sigma
-            )
+        def denoise(params, key, cond, guidance_scale, tables, n=None):
+            prep = self._prepare_cond(params, key, cond, latent_shape)
+            latents = make_noise(prep["key"]) * tables.init_noise_sigma
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 latents = jax.lax.with_sharding_constraint(
                     latents, NamedSharding(mesh, P(None, "frames"))
                 )
-            # latents: [B, F, h, w, 4]; context: [2B or B, 77, D]
-            def body(carry, i):
-                if is_dpm:
-                    lat, prev_x0 = carry
-                else:
-                    lat = carry
-                t = tables.timesteps[i]
-                model_in = jnp.concatenate([lat, lat], axis=0) if guidance else lat
+            n_total = n if variable else num_steps
+
+            def real_step(lat, i, prev_x0=None):
+                model_in = (
+                    jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                )
                 model_in = sampler.scale_model_input(model_in, i, tables)
-                t_batch = jnp.broadcast_to(t, (model_in.shape[0],))
-                eps = unet_apply(unet_params, model_in, t_batch, context)
+                if prep["concat"] is not None:
+                    model_in = jnp.concatenate(
+                        [model_in, prep["concat"]], axis=-1
+                    )
+                t_b = jnp.broadcast_to(
+                    tables.timesteps[i], (model_in.shape[0],)
+                )
+                eps = unet_apply(params[dkey], model_in, t_b, *prep["den_args"])
                 if guidance:
-                    eps_uncond, eps_text = jnp.split(eps, 2, axis=0)
-                    eps = eps_uncond + guidance_scale * (eps_text - eps_uncond)
+                    u, c = jnp.split(eps, 2, axis=0)
+                    eps = u + guidance_scale * (c - u)
+                if progress:
+                    jax.debug.callback(
+                        self._emit_progress, i, n_total, ordered=False
+                    )
                 if is_dpm:
-                    lat, x0 = sampler.step_multistep(lat, eps, i, prev_x0, tables)
+                    return sampler.step_multistep(lat, eps, i, prev_x0, tables)
+                return sampler.step(lat, eps, i, tables)
+
+            if is_dpm:
+                def body(carry, i):
+                    lat, x0 = real_step(carry[0], i, carry[1])
                     return (lat, x0), None
-                lat = sampler.step(lat, eps, i, tables)
-                return lat, None
 
-            init = (latents, jnp.zeros_like(latents)) if is_dpm else latents
-            out, _ = jax.lax.scan(body, init, jnp.arange(num_steps))
-            return out[0] if is_dpm else out
+                (out, _), _ = jax.lax.scan(
+                    body, (latents, jnp.zeros_like(latents)),
+                    jnp.arange(num_steps),
+                )
+                return out
+            if variable:
+                def body(lat, i):
+                    return jax.lax.cond(
+                        i < n, lambda l: real_step(l, i), lambda l: l, lat
+                    ), None
 
-        return (jax.jit(denoise) if jit_wrap else denoise), tables
+                out, _ = jax.lax.scan(body, latents, jnp.arange(max_steps))
+                return out
 
-    def _denoise_fn_pab(self, num_steps, sampler, tables, guidance, pab,
-                        latent_shape, jit_wrap: bool = True):
+            def body(lat, i):
+                return real_step(lat, i), None
+
+            out, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+            return out
+
+        return denoise
+
+    def _denoise_raw_pab(self, num_steps, scheduler, guidance, latent_shape,
+                         pab: PABConfig):
         """PAB variant: step 0 populates the attention cache (outside the
         scan so the carry structure exists); steps 1..N-1 scan with the
-        cache threaded through the carry and per-type refresh flags."""
+        cache threaded through the carry and per-type refresh flags.
+        Tables are closed over (the program is per-step-count anyway)."""
+        sampler = get_sampler(scheduler)
+        if scheduler.startswith("dpm"):
+            raise ValueError("PAB turbo mode supports ddim/euler/edm samplers")
+        tables = self._get_tables(scheduler, num_steps)
         unet = self.unet
+        dkey = self.denoiser_param_key
+        make_noise = self._noise_maker(latent_shape)
 
         def refresh_flags(i):
             hot = (i < pab.warmup_steps) | (i >= num_steps - pab.cooldown_steps)
@@ -280,18 +413,24 @@ class VideoDiffusionPipeline:
                 "cross": hot | (i % pab.cross_interval == 0),
             }
 
-        def denoise(unet_params, key, context, guidance_scale):
-            latents = (
-                jax.random.normal(key, latent_shape, dtype=jnp.float32)
-                * tables.init_noise_sigma
-            )
+        def denoise(params, key, cond, guidance_scale, _tables=None, n=None):
+            prep = self._prepare_cond(params, key, cond, latent_shape)
+            latents = make_noise(prep["key"]) * tables.init_noise_sigma
 
             def unet_step(lat, i, variables, mutable):
-                model_in = jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                model_in = (
+                    jnp.concatenate([lat, lat], axis=0) if guidance else lat
+                )
                 model_in = sampler.scale_model_input(model_in, i, tables)
-                t_b = jnp.broadcast_to(tables.timesteps[i], (model_in.shape[0],))
+                if prep["concat"] is not None:
+                    model_in = jnp.concatenate(
+                        [model_in, prep["concat"]], axis=-1
+                    )
+                t_b = jnp.broadcast_to(
+                    tables.timesteps[i], (model_in.shape[0],)
+                )
                 eps, mut = unet.apply(
-                    variables, model_in, t_b, context,
+                    variables, model_in, t_b, *prep["den_args"],
                     pab_refresh=refresh_flags(i), mutable=mutable,
                 )
                 if guidance:
@@ -300,8 +439,9 @@ class VideoDiffusionPipeline:
                 return sampler.step(lat, eps, i, tables), mut["pab_cache"]
 
             # step 0: creates the cache collection
+            uparams = params[dkey]
             latents, cache = unet_step(
-                latents, jnp.asarray(0), {"params": unet_params["params"]},
+                latents, jnp.asarray(0), {"params": uparams["params"]},
                 ["pab_cache"],
             )
 
@@ -309,7 +449,7 @@ class VideoDiffusionPipeline:
                 lat, cache = carry
                 lat, cache = unet_step(
                     lat, i,
-                    {"params": unet_params["params"], "pab_cache": cache},
+                    {"params": uparams["params"], "pab_cache": cache},
                     ["pab_cache"],
                 )
                 return (lat, cache), None
@@ -319,137 +459,163 @@ class VideoDiffusionPipeline:
             )
             return latents
 
-        return jax.jit(denoise) if jit_wrap else denoise
+        return denoise
 
-    def _decode_fn(self, chunk: int, jit_wrap: bool = True):
-        # cached in self._compiled (an lru_cache on the bound method would
-        # pin the pipeline instance for the process lifetime)
-        key = ("decode", chunk)
-        if jit_wrap and key in self._compiled:
-            return self._compiled[key]
-        vae = self.vae
-
-        def decode(vae_params, latents):  # [F, h, w, 4] -> [F, H, W, 3] uint8
-            z = latents.reshape(-1, chunk, *latents.shape[1:])
-            imgs = jax.lax.map(
-                lambda c: vae.apply(vae_params, c, method=vae.decode), z
-            )
-            imgs = imgs.reshape(-1, *imgs.shape[2:])
-            imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
-            return jnp.round(imgs * 255.0).astype(jnp.uint8)
-
+    def _decode_composable(self, chunk: int, decode_opts: dict):
+        """The decode stage, shard_map-wrapped under frame sharding
+        (decode is chunk-local over frames, so each device decodes its
+        frame shard; chunk never exceeds the local frame count)."""
+        decode = self._decode_raw(chunk, **decode_opts)
         if self.mesh is not None:
-            # decode is per-frame pure: each device decodes its frame shard
             import functools as _ft
 
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 
             decode = _ft.partial(
-                shard_map, mesh=self.mesh, in_specs=(P(), P("frames")),
-                out_specs=P("frames"), check_vma=False,
+                shard_map, mesh=self.mesh, in_specs=(P(), P(None, "frames")),
+                out_specs=P(None, "frames"), check_vma=False,
             )(decode)
+        return decode
 
-        if not jit_wrap:
-            return decode
-        self._compiled[key] = jax.jit(decode)
+    def _get_decode(self, chunk: int, **opts):
+        """Jitted standalone decoder (batched harness / serving use this to
+        decode latents produced by their own denoise programs)."""
+        key = ("decode", chunk, tuple(sorted(opts.items())))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._decode_composable(chunk, opts))
         return self._compiled[key]
 
-    def _denoise_fn_var(self, scheduler: str, guidance: bool, latent_shape,
-                        max_steps: int, jit_wrap: bool = True):
-        """Step-count-AGNOSTIC denoise program.
+    def _get_program(self, *, scheduler, guidance, latent_shape, num_steps,
+                     chunk=None, decode_opts=None, variable=False):
+        """Build-or-fetch the jitted program for this request signature.
 
-        The static program bakes the scheduler tables in as constants, so
-        every step count is its own multi-minute compile (the reference
-        study sweeps SIX counts, 05:40-51 — ~25 min of compiles per grid
-        run, PERF.md). Here the tables are runtime arguments padded to
-        ``max_steps`` (schedulers.common.pad_tables) and the scan runs
-        ``max_steps`` iterations with ``lax.cond(i < n, step, identity)``
-        — the UNet branch only executes for real steps, so padding costs
-        microseconds and ONE compile serves every (ddim/euler) step count
-        and guidance scale.
+        chunk=None  -> denoise-only (latent output)
+        chunk=int   -> single-program generate: noise -> denoise scan ->
+                       chunked decode -> uint8, ONE device dispatch
+                       (the tunnel charges a round trip per program;
+                       PERF.md methodology), latents never surfacing
+                       between stages.
         """
-        sampler = get_sampler(scheduler)
-        assert not scheduler.startswith("dpm"), "dpm multistep carries state"
-        assert self.pab is None, "PAB program is per-step-count"
-        unet_apply = self._sharded_unet_apply or self.unet.apply
-        mesh = self.mesh
+        key = ("prog", scheduler, guidance, latent_shape, num_steps if not variable
+               else ("var", self.variable_steps), chunk,
+               tuple(sorted((decode_opts or {}).items())),
+               self.pab is not None, self.progress_callback is not None)
+        if key in self._compiled:
+            return self._compiled[key]
 
-        def denoise(unet_params, key, context, guidance_scale, tables, n):
-            latents = (
-                jax.random.normal(key, latent_shape, dtype=jnp.float32)
-                * tables.init_noise_sigma
+        if self.pab is not None:
+            denoise_raw = self._denoise_raw_pab(
+                num_steps, scheduler, guidance, latent_shape, self.pab
             )
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+        elif variable:
+            denoise_raw = self._denoise_raw(
+                scheduler, guidance, latent_shape,
+                max_steps=self.variable_steps,
+            )
+        else:
+            denoise_raw = self._denoise_raw(
+                scheduler, guidance, latent_shape, num_steps=num_steps
+            )
 
-                latents = jax.lax.with_sharding_constraint(
-                    latents, NamedSharding(mesh, P(None, "frames"))
-                )
+        if chunk is None:
+            fn = jax.jit(denoise_raw)
+        else:
+            decode_raw = self._decode_composable(chunk, decode_opts or {})
 
-            def body(lat, i):
-                def real(lat):
-                    model_in = (
-                        jnp.concatenate([lat, lat], axis=0) if guidance else lat
-                    )
-                    model_in = sampler.scale_model_input(model_in, i, tables)
-                    t_b = jnp.broadcast_to(
-                        tables.timesteps[i], (model_in.shape[0],)
-                    )
-                    eps = unet_apply(unet_params, model_in, t_b, context)
-                    if guidance:
-                        u, c = jnp.split(eps, 2, axis=0)
-                        eps = u + guidance_scale * (c - u)
-                    return sampler.step(lat, eps, i, tables)
+            def generate(params, key, cond, guidance_scale, tables, n=None):
+                latents = denoise_raw(params, key, cond, guidance_scale,
+                                      tables, n)
+                return latents, decode_raw(params, latents)
 
-                return jax.lax.cond(i < n, real, lambda l: l, lat), None
+            fn = jax.jit(generate)
+        self._compiled[key] = fn
+        return fn
 
-            out, _ = jax.lax.scan(body, latents, jnp.arange(max_steps))
-            return out
-
-        return jax.jit(denoise) if jit_wrap else denoise
-
-    def _generate_fn_var(self, scheduler: str, guidance: bool, latent_shape,
-                         chunk: int, max_steps: int):
-        """Variable-steps single-program generate (see _generate_fn)."""
-        denoise_raw = self._denoise_fn_var(
-            scheduler, guidance, latent_shape, max_steps, jit_wrap=False
-        )
-        decode_raw = self._decode_fn(chunk, jit_wrap=False)
-
-        def generate(unet_params, vae_params, key, context, guidance_scale,
-                     tables, n):
-            latents = denoise_raw(unet_params, key, context, guidance_scale,
-                                  tables, n)
-            return latents, decode_raw(vae_params, latents[0])
-
-        return jax.jit(generate)
-
-    def _generate_fn(self, num_steps: int, scheduler: str, guidance: bool,
-                     latent_shape, chunk: int):
-        """The WHOLE per-request sample path as ONE jitted program:
-        noise -> CFG denoise scan -> chunked VAE decode -> uint8 frames.
-
-        One device dispatch per generation instead of two (the tunnel
-        charges a round trip per program; PERF.md methodology), and the
-        latents never surface to the host between stages."""
-        denoise_raw, _ = self._denoise_fn(
-            num_steps, scheduler, guidance, latent_shape, jit_wrap=False
-        )
-        decode_raw = self._decode_fn(chunk, jit_wrap=False)
-
-        def generate(unet_params, vae_params, key, context, guidance_scale):
-            latents = denoise_raw(unet_params, key, context, guidance_scale)
-            return latents, decode_raw(vae_params, latents[0])
-
-        return jax.jit(generate)
-
-    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> jnp.ndarray:
-        """-> [2, 77, D] context, ordered (uncond, cond) like the CFG split."""
-        ids = self.tokenizer([negative_prompt or "", prompt])
+    def encode_prompt(
+        self, prompt: Union[str, Sequence[str]], negative_prompt: str = ""
+    ) -> jnp.ndarray:
+        """-> [2B, 77, D] context, ordered (uncond x B, cond x B) to match
+        the CFG batch split. B = 1 for a string prompt (back-compat [2, ...])."""
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        ids = self.tokenizer([negative_prompt or ""] * len(prompts) + prompts)
         if "text_encode" not in self._compiled:
             self._compiled["text_encode"] = jax.jit(self.text_encoder.apply)
         return self._compiled["text_encode"](self.params["text"], jnp.asarray(ids))
+
+    # ------------------------------------------------------------------
+    # Shared generate driver
+    # ------------------------------------------------------------------
+    def _run_generate(self, *, cond, guidance_arr, guidance: bool,
+                      latent_shape, scheduler: str, num_inference_steps: int,
+                      seed, decode_chunk: int, decode_opts=None,
+                      output_type: str = "np", latent_only: bool = False):
+        """The family-independent request path: resolve chunking/sharding,
+        pick static vs variable program, dispatch, postprocess."""
+        B, num_frames = latent_shape[0], latent_shape[1]
+        if self.frame_shards > 1:
+            assert num_frames % self.frame_shards == 0, (
+                f"num_frames={num_frames} must divide over "
+                f"frame_shards={self.frame_shards}"
+            )
+        local_frames = num_frames // self.frame_shards
+        chunk = max(1, min(decode_chunk, local_frames))
+        while local_frames % chunk:
+            chunk -= 1
+
+        use_var = (
+            self.variable_steps > 0
+            and self.pab is None
+            and not scheduler.startswith("dpm")
+            and num_inference_steps <= self.variable_steps
+        )
+        key_arr = self._seed_keys(seed, B)
+
+        prog = self._get_program(
+            scheduler=scheduler, guidance=guidance, latent_shape=latent_shape,
+            num_steps=num_inference_steps,
+            chunk=None if latent_only else chunk,
+            decode_opts=decode_opts, variable=use_var,
+        )
+        tables = self._get_tables(
+            scheduler, num_inference_steps,
+            self.variable_steps if use_var else 0,
+        )
+        args = (self.params, key_arr, cond, guidance_arr, tables)
+        if use_var:
+            args = args + (jnp.int32(num_inference_steps),)
+        if latent_only:
+            latents = prog(*args)
+            return PipelineOutput(frames=[], latents=latents)
+        latents, frames_u8 = prog(*args)
+        frames_np = np.asarray(frames_u8)  # [B, F, H, W, 3]
+
+        if output_type == "np":
+            return PipelineOutput(
+                frames=[frames_np[b] for b in range(B)], latents=latents
+            )
+
+        from PIL import Image
+
+        pil = [
+            [Image.fromarray(f) for f in frames_np[b]] for b in range(B)
+        ]
+        return PipelineOutput(frames=pil, latents=latents)
+
+    @staticmethod
+    def _seed_keys(seed, batch: int):
+        """Single key for B=1; stacked [B, 2] keys for a video batch. A
+        scalar seed with B>1 reuses the same key per video (each video
+        then matches the single call with that seed)."""
+        if batch == 1:
+            if isinstance(seed, (list, tuple)):
+                (seed,) = seed
+            return as_key(seed)
+        seeds = list(seed) if isinstance(seed, (list, tuple)) else [seed] * batch
+        assert len(seeds) == batch, (
+            f"got {len(seeds)} seeds for {batch} prompts"
+        )
+        return jnp.stack([as_key(s) for s in seeds])
 
     # ------------------------------------------------------------------
     # Public API (reference-compatible kwargs)
@@ -463,93 +629,68 @@ class VideoDiffusionPipeline:
         num_inference_steps: int = 25,
         height: int = 512,
         width: int = 512,
-        seed: Union[int, jax.Array] = 0,
+        seed: Union[int, jax.Array, Sequence[int]] = 0,
         scheduler: Optional[str] = None,
         output_type: str = "pil",
         decode_chunk: int = 8,
     ) -> PipelineOutput:
         assert self.params is not None, "load or init params first"
         scheduler = scheduler or self.scheduler
-        sampler = get_sampler(scheduler)
         ds = self.vae.config.downscale
         h, w = height // ds, width // ds
-        guidance = guidance_scale > 1.0
+        guidance = self.guidance_always or float(np.max(guidance_scale)) > 1.0
+        B = 1 if isinstance(prompt, str) else len(prompt)
 
-        context = self.encode_prompt(
-            prompt if isinstance(prompt, str) else prompt[0], negative_prompt
-        )
+        context = self.encode_prompt(prompt, negative_prompt)  # [2B, 77, D]
         if not guidance:
-            context = context[1:]
+            context = context[B:]
 
-        if self.frame_shards > 1:
-            assert num_frames % self.frame_shards == 0, (
-                f"num_frames={num_frames} must divide over "
-                f"frame_shards={self.frame_shards}"
-            )
-        latent_shape = (1, num_frames, h, w, self.unet.config.in_channels)
-        if output_type == "latent":
-            cache_key = ("denoise", num_inference_steps, scheduler, guidance,
-                         latent_shape, context.shape, self.pab)
-            if cache_key not in self._compiled:
-                self._compiled[cache_key], _ = self._denoise_fn(
-                    num_inference_steps, scheduler, guidance, latent_shape
-                )
-            latents = self._compiled[cache_key](
-                self.params["unet"], as_key(seed), context,
-                jnp.float32(guidance_scale),
-            )
-            return PipelineOutput(frames=[], latents=latents)
-
-        local_frames = num_frames // self.frame_shards
-        chunk = max(1, min(decode_chunk, local_frames))
-        while local_frames % chunk:
-            chunk -= 1
-        use_var = (
-            self.variable_steps > 0
-            and self.pab is None
-            and not scheduler.startswith("dpm")
-            and num_inference_steps <= self.variable_steps
+        latent_shape = (B, num_frames, h, w, self.latent_channels)
+        return self._run_generate(
+            cond=context, guidance_arr=jnp.float32(guidance_scale),
+            guidance=guidance, latent_shape=latent_shape, scheduler=scheduler,
+            num_inference_steps=num_inference_steps, seed=seed,
+            decode_chunk=decode_chunk, output_type=output_type,
+            latent_only=(output_type == "latent"),
         )
-        if use_var:
-            from vdx.schedulers.common import pad_tables
 
-            cache_key = ("var_generate", scheduler, guidance, latent_shape,
-                         context.shape, chunk, self.variable_steps)
-            if cache_key not in self._compiled:
-                self._compiled[cache_key] = self._generate_fn_var(
-                    scheduler, guidance, latent_shape, chunk,
-                    self.variable_steps,
-                )
-            tables = pad_tables(
-                get_sampler(scheduler).make_tables(num_inference_steps),
-                num_inference_steps, self.variable_steps,
-            )
-            latents, frames_u8 = self._compiled[cache_key](
-                self.params["unet"], self.params["vae"], as_key(seed),
-                context, jnp.float32(guidance_scale), tables,
-                jnp.int32(num_inference_steps),
-            )
-        else:
-            cache_key = ("generate", num_inference_steps, scheduler, guidance,
-                         latent_shape, context.shape, self.pab, chunk)
-            if cache_key not in self._compiled:
-                self._compiled[cache_key] = self._generate_fn(
-                    num_inference_steps, scheduler, guidance, latent_shape,
-                    chunk,
-                )
-            latents, frames_u8 = self._compiled[cache_key](
-                self.params["unet"], self.params["vae"], as_key(seed), context,
-                jnp.float32(guidance_scale),
-            )
-        frames_np = np.asarray(frames_u8)
 
-        if output_type == "np":
-            return PipelineOutput(frames=[frames_np], latents=latents)
+def _to_uint8(imgs: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] float frames -> [0, 255] uint8."""
+    imgs = jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
+    return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
-        from PIL import Image
 
-        pil = [Image.fromarray(f) for f in frames_np]
-        return PipelineOutput(frames=[pil], latents=latents)
+def fast_tree_init(shapes: dict, seed: int) -> dict:
+    """Host-side seeded random params for a dict of eval_shape trees.
+
+    Leaves are built in numpy (float32 draws, fan-in-scaled normals for
+    >=2-D weights, ones for scales, zeros for biases), cast to the leaf
+    dtype host-side, and the WHOLE tree moves in one ``jax.device_put`` —
+    per-leaf puts pay one tunnel round trip each (16x slower measured;
+    scripts/bench_startup_floor.py)."""
+    rng = np.random.default_rng(seed)
+
+    def build(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)
+        out = []
+        for path, leaf in flat[0]:
+            name = str(getattr(path[-1], "key", path[-1])).lower()
+            if len(leaf.shape) >= 2:
+                # fan-in-scaled normal keeps activations O(1) end to end
+                fan_in = int(np.prod(leaf.shape[:-1]))
+                a = rng.standard_normal(leaf.shape, dtype=np.float32)
+                a *= (1.0 / max(fan_in, 1)) ** 0.5
+            elif "scale" in name or "mix_factor" in name:
+                a = np.full(leaf.shape, 0.5 if "mix" in name else 1.0,
+                            np.float32)
+            else:  # bias-like
+                a = np.zeros(leaf.shape, np.float32)
+            out.append(a.astype(leaf.dtype))
+        return jax.tree.unflatten(flat[1], out)
+
+    host = {k: build(v) for k, v in shapes.items()}
+    return jax.device_put(host)
 
 
 class AnimateDiffPipeline(VideoDiffusionPipeline):

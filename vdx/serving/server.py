@@ -171,6 +171,7 @@ class BatchingGenerationService(GenerationService):
 
     def _run_batch(self, key, batch):
         import jax.numpy as jnp
+        import numpy as np
 
         from vdx.core.rng import as_key
         from vdx.harness.batched import _batched_denoise_fn
@@ -188,28 +189,30 @@ class BatchingGenerationService(GenerationService):
         t0 = time.time()
         reqs = [s["request"] for s in batch]
         neg = self.defaults["negative_prompt"]
+        # Prompt encode happens OUTSIDE the device lock: the text tower is a
+        # tiny read-only program and JAX dispatch is thread-safe — only the
+        # big denoise+decode executions are single-flighted.
+        contexts = jnp.stack([
+            pipe.encode_prompt(r["prompt"], r.get("negative_prompt", neg))
+            for r in reqs
+        ])
+        keys = jnp.stack([as_key(int(r.get("seed", 0))) for r in reqs])
+        scales = jnp.asarray(
+            [float(r.get("guidance_scale",
+                         self.defaults["guidance_scale"])) for r in reqs],
+            jnp.float32,
+        )
+        chunk = max(1, min(4, F))
+        while F % chunk:
+            chunk -= 1
         with self._lock:
-            contexts = jnp.stack([
-                pipe.encode_prompt(r["prompt"], r.get("negative_prompt", neg))
-                for r in reqs
-            ])
-            keys = jnp.stack([as_key(int(r.get("seed", 0))) for r in reqs])
-            scales = jnp.asarray(
-                [float(r.get("guidance_scale",
-                             self.defaults["guidance_scale"])) for r in reqs],
-                jnp.float32,
-            )
             latents = denoise(pipe.params["unet"], keys, contexts, scales)
-            import numpy as np
-
-            chunk = max(1, min(4, F))
-            while F % chunk:
-                chunk -= 1
-            decode = pipe._decode_fn(chunk)
-            frames_all = [
-                np.asarray(decode(pipe.params["vae"], latents[i, 0]))
-                for i in range(len(batch))
-            ]
+            # ONE batched decode program for the whole batch: latents
+            # [N, 1, F, h, w, C] -> [N, F, ...] rides the decoder's video
+            # batch axis (chunks never straddle videos since chunk | F).
+            decode = pipe._get_decode(chunk)
+            frames_u8 = decode(pipe.params, latents[:, 0])
+        frames_all = np.asarray(frames_u8)  # D2H outside the lock
         dt = time.time() - t0
         self.batches_run += 1
 
