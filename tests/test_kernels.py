@@ -114,6 +114,22 @@ def test_flash_dt_exp2_bf16_matches_xla():
     )
 
 
+def test_temporal_attention_cp_matches_xla():
+    """C-major / positions-on-lanes temporal attention (the round-3
+    megakernel layout probe) matches the exact XLA path."""
+    from vdx.kernels.temporal_attention_cp import temporal_attention_cp
+
+    key = jax.random.PRNGKey(7)
+    P, F, H, D = 256, 16, 8, 40
+    q = jax.random.normal(key, (P, F, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (P, F, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (P, F, H, D), jnp.float32)
+    scale = D**-0.5
+    want = _xla_attention(q, k, v, scale, None)
+    got = temporal_attention_cp(q, k, v, scale=scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_fast_exp2_accuracy():
     """_fast_exp2 vs exp2 over the full negative domain incl. the clamp."""
     from vdx.kernels.flash_attention import _fast_exp2

@@ -661,36 +661,90 @@ def _to_uint8(imgs: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(imgs * 255.0).astype(jnp.uint8)
 
 
-def fast_tree_init(shapes: dict, seed: int) -> dict:
-    """Host-side seeded random params for a dict of eval_shape trees.
+def _leaf_init_kind(path, leaf) -> str:
+    name = str(getattr(path[-1], "key", path[-1])).lower()
+    if len(leaf.shape) >= 2:
+        return "normal"  # fan-in-scaled keeps activations O(1) end to end
+    if "mix_factor" in name:
+        return "half"
+    if "scale" in name:
+        return "ones"
+    return "zeros"  # bias-like
 
-    Leaves are built in numpy (float32 draws, fan-in-scaled normals for
-    >=2-D weights, ones for scales, zeros for biases), cast to the leaf
-    dtype host-side, and the WHOLE tree moves in one ``jax.device_put`` —
-    per-leaf puts pay one tunnel round trip each (16x slower measured;
-    scripts/bench_startup_floor.py)."""
+
+def fast_tree_init(shapes: dict, seed: int) -> dict:
+    """Seeded random params for a dict of eval_shape trees, without
+    compiling any model init graph.
+
+    Big trees (the billion-param production configs) generate ON DEVICE in
+    one jitted RNG program: host numpy RNG for 1.3B params measures ~9 min
+    on this class of host CPU, and per-leaf transfers pay a tunnel round
+    trip each (scripts/bench_startup_floor.py) — while the device program
+    compiles once (persistently cached) and runs in well under a second.
+    Small trees (CPU tests) keep the instant host-numpy path, moved in one
+    bulk ``jax.device_put``.
+    """
+    flat_all = {
+        k: jax.tree_util.tree_flatten_with_path(v) for k, v in shapes.items()
+    }
+    total = sum(
+        int(np.prod(leaf.shape))
+        for flat, _ in (flat_all[k] for k in flat_all)
+        for _, leaf in flat
+    )
+    if total >= 2**25 and jax.default_backend() != "cpu":
+        return _device_tree_init(flat_all, seed)
+
     rng = np.random.default_rng(seed)
 
-    def build(tree):
-        flat = jax.tree_util.tree_flatten_with_path(tree)
+    def build(k):
+        flat, treedef = flat_all[k]
         out = []
-        for path, leaf in flat[0]:
-            name = str(getattr(path[-1], "key", path[-1])).lower()
-            if len(leaf.shape) >= 2:
-                # fan-in-scaled normal keeps activations O(1) end to end
+        for path, leaf in flat:
+            kind = _leaf_init_kind(path, leaf)
+            if kind == "normal":
                 fan_in = int(np.prod(leaf.shape[:-1]))
                 a = rng.standard_normal(leaf.shape, dtype=np.float32)
                 a *= (1.0 / max(fan_in, 1)) ** 0.5
-            elif "scale" in name or "mix_factor" in name:
-                a = np.full(leaf.shape, 0.5 if "mix" in name else 1.0,
-                            np.float32)
-            else:  # bias-like
-                a = np.zeros(leaf.shape, np.float32)
+            else:
+                fill = {"half": 0.5, "ones": 1.0, "zeros": 0.0}[kind]
+                a = np.full(leaf.shape, fill, np.float32)
             out.append(a.astype(leaf.dtype))
-        return jax.tree.unflatten(flat[1], out)
+        return jax.tree.unflatten(treedef, out)
 
-    host = {k: build(v) for k, v in shapes.items()}
-    return jax.device_put(host)
+    return jax.device_put({k: build(k) for k in shapes})
+
+
+def _device_tree_init(flat_all: dict, seed: int) -> dict:
+    """One jitted program generating every leaf on device."""
+    specs = []  # (component, index-in-component, kind, shape, dtype)
+    for k, (flat, _) in flat_all.items():
+        for i, (path, leaf) in enumerate(flat):
+            specs.append((k, i, _leaf_init_kind(path, leaf), leaf.shape,
+                          leaf.dtype))
+
+    def gen(key):
+        keys = jax.random.split(key, len(specs))
+        outs = []
+        for (k_, i, kind, shape, dtype), kk in zip(specs, keys):
+            if kind == "normal":
+                fan_in = int(np.prod(shape[:-1]))
+                x = jax.random.normal(kk, shape, jnp.float32)
+                x = x * (1.0 / max(fan_in, 1)) ** 0.5
+            else:
+                fill = {"half": 0.5, "ones": 1.0, "zeros": 0.0}[kind]
+                x = jnp.full(shape, fill, jnp.float32)
+            outs.append(x.astype(dtype))
+        return outs
+
+    leaves = jax.jit(gen)(jax.random.PRNGKey(seed))
+    out = {}
+    pos = 0
+    for k, (flat, treedef) in flat_all.items():
+        n = len(flat)
+        out[k] = jax.tree.unflatten(treedef, leaves[pos:pos + n])
+        pos += n
+    return out
 
 
 class AnimateDiffPipeline(VideoDiffusionPipeline):
