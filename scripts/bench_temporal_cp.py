@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def bench(label, fn, args_maker, K=8, runs=3):
+def bench(label, fn, args_maker, K=4, runs=3):
     """K-chained scan, fresh inputs per run, host-sum to time (PERF.md)."""
 
     def chained(*args):
@@ -36,6 +36,7 @@ def bench(label, fn, args_maker, K=8, runs=3):
         return jnp.sum(y.astype(jnp.float32))
 
     jitted = jax.jit(chained)
+    print(f"  {label}: compiling...", flush=True)
     t0 = time.time()
     float(jitted(*args_maker(99)))
     print(f"  {label}: compile {time.time() - t0:.1f} s", flush=True)
@@ -68,19 +69,23 @@ def main():
         )
         return mk(), mk(), mk()
 
-    # reference path: what auto-dispatch runs today (bf16 probs)
-    xla = lambda q, k, v: dot_product_attention(  # noqa: E731
-        q, k, v, scale=scale, impl="xla_bf16p"
-    )
-    bench("xla bf16probs (dispatched today)", xla,
-          lambda i: fresh(i, jnp.bfloat16))
+    import os
 
-    cp = lambda q, k, v: temporal_attention_cp(q, k, v, scale=scale)  # noqa: E731
-    for blk in (128, 256, 512):
+    blocks = [int(b) for b in os.environ.get("CP_BLOCKS", "128,512").split(",")]
+    for blk in blocks:
         f = lambda q, k, v, b=blk: temporal_attention_cp(  # noqa: E731
             q, k, v, scale=scale, block_p=b
         )
         bench(f"cp-layout VPU kernel block_p={blk}", f,
+              lambda i: fresh(i, jnp.bfloat16))
+
+    if os.environ.get("CP_BASELINE"):
+        # reference path: what auto-dispatch runs today (bf16 probs);
+        # round-2 measured ~5.0 ms/site (PERF.md) — rerun only on demand.
+        xla = lambda q, k, v: dot_product_attention(  # noqa: E731
+            q, k, v, scale=scale, impl="xla_bf16p"
+        )
+        bench("xla bf16probs (dispatched today)", xla,
               lambda i: fresh(i, jnp.bfloat16))
 
 

@@ -138,6 +138,33 @@ class TestMultiPrompt:
         assert out.frames[0][0].size == (64, 64)
 
 
+class TestPABWithFrameShards:
+    def test_composed_matches_local_pab(self):
+        """PAB and frame sharding compose (VERDICT r2 #10): the ring
+        denoiser runs in a shard_map that threads the attention-broadcast
+        cache through per-leaf specs; output matches the unsharded PAB
+        pipeline for the same broadcast schedule."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        gen = dict(num_frames=8, height=64, width=64, num_inference_steps=6,
+                   seed=7, output_type="np")
+        plain = AnimateDiffPipeline.with_random_params(seed=0, **T2V_KW)
+        pab = PABConfig(spatial_interval=2, temporal_interval=3,
+                        cross_interval=3, warmup_steps=1, cooldown_steps=1)
+        local = AnimateDiffPipeline(pab=pab, **T2V_KW)
+        local.params = plain.params
+        sharded = AnimateDiffPipeline(pab=pab, frame_shards=4, **T2V_KW)
+        sharded.params = plain.params
+        a = local("portrait", **gen).frames[0]
+        b = sharded("portrait", **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
+        assert not np.array_equal(
+            a, plain("portrait", **gen).frames[0]
+        )  # PAB is actually skipping work
+
+
 class TestProgressCallback:
     def test_progress_reports_every_step(self):
         """Per-step progress via jax.debug.callback — the denoise stays ONE

@@ -128,6 +128,79 @@ class TestBatchingService:
                 io.BytesIO(base64.b64decode(results[1]["frames"][0]))))
         assert not np.array_equal(a, b)
 
+    def test_one_decode_program_and_latency_win(self, pipe):
+        """N requests -> 1 batched denoise AND 1 batched decode dispatch,
+        and the batch beats N sequential single-request batches on
+        wall-clock (both timed warm)."""
+        import threading
+        import time as _time
+
+        from vdx.serving.server import BatchingGenerationService
+
+        defaults = {"num_frames": 2, "num_inference_steps": 2,
+                    "height": 64, "width": 64}
+
+        decode_calls = []
+        real_get_decode = pipe._get_decode
+
+        def spy_get_decode(chunk, **opts):
+            fn = real_get_decode(chunk, **opts)
+
+            def wrapped(*a):
+                decode_calls.append(1)
+                return fn(*a)
+
+            return wrapped
+
+        pipe._get_decode = spy_get_decode
+        try:
+            def run_burst(svc, n, seed0):
+                results = [None] * n
+                threads = [
+                    threading.Thread(
+                        target=lambda i=i: results.__setitem__(
+                            i, svc.generate(
+                                {"prompt": f"v {i}", "seed": seed0 + i}
+                            )
+                        )
+                    )
+                    for i in range(n)
+                ]
+                for t in threads:
+                    t.start()
+                deadline = _time.time() + 60
+                while len(svc._queue) < n and _time.time() < deadline:
+                    _time.sleep(0.01)
+                t0 = _time.time()
+                svc.start_worker()
+                for t in threads:
+                    t.join(timeout=600)
+                return results, _time.time() - t0
+
+            batched = BatchingGenerationService(
+                pipe, defaults=defaults, autostart=False
+            )
+            run_burst(batched, 4, 0)  # warm (compiles batch-4 programs)
+            decode_calls.clear()
+            results, batch_dt = run_burst(batched, 4, 10)
+            assert batched.batches_run == 2
+            assert all(r["timings"]["batch_size"] == 4 for r in results)
+            assert len(decode_calls) == 1, (
+                "4 requests must decode in ONE batched program"
+            )
+
+            serial = BatchingGenerationService(
+                pipe, defaults=defaults, max_batch=1, batch_window_s=0.0
+            )
+            serial.generate({"prompt": "warm", "seed": 99})  # batch-1 compile
+            t0 = _time.time()
+            for i in range(4):
+                serial.generate({"prompt": f"s {i}", "seed": 20 + i})
+            serial_dt = _time.time() - t0
+            assert batch_dt < serial_dt, (batch_dt, serial_dt)
+        finally:
+            pipe._get_decode = real_get_decode
+
     def test_incompatible_shapes_split_batches(self, pipe):
         from vdx.serving.server import BatchingGenerationService
 

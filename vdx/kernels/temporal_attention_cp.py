@@ -35,34 +35,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _temporal_cp_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int,
-                        head_dim: int, scale: float):
-    """One [F, C, 128] block of positions; full attention over F per head.
+def _temporal_cp_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    """One (head, position-block) of the grid: full attention over F.
 
-    q/k/v refs: [F, C, P_blk] fp32. o ref: [F, C, P_blk].
+    q/k/v/o refs: [F, D, P_blk] fp32 — one head's slice. Keeping the head
+    on the GRID (not inside the block) keeps each double-buffered block at
+    [16, 40, 128] fp32 = 328 KB; whole-C blocks blow the 16 MB scoped-vmem
+    budget on double-buffering alone.
     """
-    F, C, P = q_ref.shape
-    q = q_ref[...] * scale  # [F, C, P]
-    k = k_ref[...]
-    v = v_ref[...]
+    qh = q_ref[...] * scale  # [F, D, P]
+    kh = k_ref[...]
+    vh = v_ref[...]
 
-    for h in range(heads):
-        lo = h * head_dim
-        qh = q[:, lo:lo + head_dim, :]  # [F, D, P]
-        kh = k[:, lo:lo + head_dim, :]
-        vh = v[:, lo:lo + head_dim, :]
+    # scores[f, g, p] = sum_d qh[f, d, p] * kh[g, d, p]
+    s = jnp.sum(qh[:, None] * kh[None, :], axis=2)  # [F, F, P]
 
-        # scores[f, g, p] = sum_d qh[f, d, p] * kh[g, d, p]
-        s = jnp.sum(qh[:, None] * kh[None, :], axis=2)  # [F, F, P]
+    # softmax over g (axis 1), p vectorised on lanes
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p_ = e / jnp.sum(e, axis=1, keepdims=True)  # [F, F, P]
 
-        # softmax over g (axis 1), p vectorised on lanes
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        p_ = e / jnp.sum(e, axis=1, keepdims=True)  # [F, F, P]
-
-        # out[f, d, p] = sum_g p_[f, g, p] * vh[g, d, p]
-        o = jnp.sum(p_[:, :, None, :] * vh[None], axis=1)  # [F, D, P]
-        o_ref[:, lo:lo + head_dim, :] = o
+    # out[f, d, p] = sum_g p_[f, g, p] * vh[g, d, p]
+    o_ref[...] = jnp.sum(p_[:, :, None, :] * vh[None], axis=1)  # [F, D, P]
 
 
 def temporal_attention_cp(q, k, v, *, scale: float | None = None,
@@ -85,17 +79,12 @@ def temporal_attention_cp(q, k, v, *, scale: float | None = None,
 
     qt, kt, vt = fold(q), fold(k), fold(v)
 
+    spec = pl.BlockSpec((F, D, block_p), lambda h, i: (0, h, i))
     out = pl.pallas_call(
-        functools.partial(
-            _temporal_cp_kernel, heads=H, head_dim=D, scale=scale
-        ),
-        grid=(P // block_p,),
-        in_specs=[
-            pl.BlockSpec((F, C, block_p), lambda i: (0, 0, i)),
-            pl.BlockSpec((F, C, block_p), lambda i: (0, 0, i)),
-            pl.BlockSpec((F, C, block_p), lambda i: (0, 0, i)),
-        ],
-        out_specs=pl.BlockSpec((F, C, block_p), lambda i: (0, 0, i)),
+        functools.partial(_temporal_cp_kernel, scale=scale),
+        grid=(H, P // block_p),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((F, C, P), jnp.float32),
         interpret=interpret,
     )(qt, kt, vt)

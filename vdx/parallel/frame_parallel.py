@@ -32,6 +32,7 @@ def make_frame_sharded_denoiser(
     axis: str = "frames",
     attn_impl: str = "auto",
     n_conditioning: int = 1,
+    pab: bool = False,
 ):
     """Generic frame-sharded denoiser (any model with a ``temporal_impl`` knob).
 
@@ -39,12 +40,16 @@ def make_frame_sharded_denoiser(
     (params, sample [B, F, ...], timestep, *conditioning) with F sharded
     over ``axis`` and everything else replicated.  ``n_conditioning`` is the
     number of replicated conditioning args after timestep (1 for text
-    context; 2 for SVD's image_embeds + added_time_ids).
+    context; 2 for SVD's image_embeds + added_time_ids). ``pab`` builds the
+    model with the attention-broadcast cache enabled (the pipeline then
+    drives it through its own shard_map wrapper that threads the cache).
     """
     kwargs = {"config": config, "attn_impl": attn_impl,
               "temporal_impl": f"ring:{axis}"}
     if policy is not None:
         kwargs["policy"] = policy
+    if pab:
+        kwargs["pab"] = True
     model = denoiser_cls(**kwargs)
 
     @functools.partial(

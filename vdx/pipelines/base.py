@@ -38,6 +38,7 @@ The machinery every family inherits from this core:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, List, Optional, Sequence, Union
 
 import jax
@@ -151,21 +152,21 @@ class VideoDiffusionPipeline:
         self.frame_shards = frame_shards
         self.mesh = None
         self._sharded_unet_apply = None
+        self._ring_model = None
         if frame_shards > 1:
             if not self.supports_frame_shards:
                 raise ValueError(
                     f"{type(self).__name__} denoiser has no frame-sharded "
                     "(ring) execution mode"
                 )
-            assert pab is None, "frame sharding and PAB are mutually exclusive"
             from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
             from vdx.parallel.mesh import make_mesh
 
             self.mesh = mesh if mesh is not None else make_mesh(1, frame_shards, 1)
-            _, self._sharded_unet_apply = make_frame_sharded_denoiser(
+            self._ring_model, self._sharded_unet_apply = make_frame_sharded_denoiser(
                 self.denoiser_cls, denoiser_config, self.mesh,
                 policy=policy, attn_impl=attn_impl,
-                n_conditioning=self.n_denoiser_cond,
+                n_conditioning=self.n_denoiser_cond, pab=pab is not None,
             )
 
     # ------------------------------------------------------------------
@@ -396,12 +397,19 @@ class VideoDiffusionPipeline:
         """PAB variant: step 0 populates the attention cache (outside the
         scan so the carry structure exists); steps 1..N-1 scan with the
         cache threaded through the carry and per-type refresh flags.
-        Tables are closed over (the program is per-step-count anyway)."""
+        Tables are closed over (the program is per-step-count anyway).
+
+        Composes with ``frame_shards``: the ring denoiser runs inside a
+        shard_map whose in/out specs carry the cache — spatial/cross cache
+        leaves shard their folded [B*F, ...] axis, temporal leaves their
+        frame axis. The cache never leaves its device between steps, so
+        any internally-consistent spec assignment is exact."""
         sampler = get_sampler(scheduler)
         if scheduler.startswith("dpm"):
             raise ValueError("PAB turbo mode supports ddim/euler/edm samplers")
         tables = self._get_tables(scheduler, num_steps)
         unet = self.unet
+        mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
 
@@ -413,11 +421,85 @@ class VideoDiffusionPipeline:
                 "cross": hot | (i % pab.cross_interval == 0),
             }
 
+        def _apply_local(variables, model_in, t_b, den_args, flags):
+            return unet.apply(
+                variables, model_in, t_b, *den_args,
+                pab_refresh=flags, mutable=["pab_cache"],
+            )
+
+        def _make_sharded_steps(uparams, model_in, t_b, den_args):
+            """shard_map-wrapped (create, step) fns with cache specs
+            inferred from the local model's cache tree (temporal caches
+            shard their frame axis, spatial/cross their folded B*F axis)."""
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            n = mesh.shape["frames"]
+            F_axis = 1
+            local_in = jax.eval_shape(
+                lambda x: x[:, : model_in.shape[F_axis] // n], model_in
+            )
+            _, cache_struct = jax.eval_shape(
+                lambda v, mi, tb, da: _apply_local(
+                    v, mi, tb, da,
+                    {"spatial": True, "temporal": True, "cross": True},
+                ),
+                {"params": uparams["params"]}, local_in, t_b, den_args,
+            )
+
+            def leaf_spec(path, _leaf):
+                parts = [str(getattr(p, "key", p)).lower() for p in path]
+                temporal = any("motion" in s or "temporal" in s for s in parts)
+                return P(None, "frames") if temporal else P("frames")
+
+            cache_specs = jax.tree_util.tree_map_with_path(
+                leaf_spec, cache_struct["pab_cache"]
+            )
+            ring = self._ring_model
+            da_specs = (P(),) * len(den_args)
+
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), P(None, "frames"), P()) + (da_specs, P()),
+                out_specs=(P(None, "frames"), cache_specs),
+                check_vma=False,
+            )
+            def create(params, mi, tb, da, flags):
+                eps, mut = ring.apply(
+                    {"params": params["params"]}, mi, tb, *da,
+                    pab_refresh=flags, mutable=["pab_cache"],
+                )
+                return eps, mut["pab_cache"]
+
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(), P(None, "frames"), P())
+                + (da_specs, cache_specs, P()),
+                out_specs=(P(None, "frames"), cache_specs),
+                check_vma=False,
+            )
+            def step(params, mi, tb, da, cache, flags):
+                eps, mut = ring.apply(
+                    {"params": params["params"], "pab_cache": cache},
+                    mi, tb, *da, pab_refresh=flags, mutable=["pab_cache"],
+                )
+                return eps, mut["pab_cache"]
+
+            return create, step
+
         def denoise(params, key, cond, guidance_scale, _tables=None, n=None):
             prep = self._prepare_cond(params, key, cond, latent_shape)
             latents = make_noise(prep["key"]) * tables.init_noise_sigma
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
 
-            def unet_step(lat, i, variables, mutable):
+                latents = jax.lax.with_sharding_constraint(
+                    latents, NamedSharding(mesh, P(None, "frames"))
+                )
+            uparams = params[dkey]
+            sharded = [None]  # (create, step), built on first use
+
+            def unet_step(lat, i, cache):
                 model_in = (
                     jnp.concatenate([lat, lat], axis=0) if guidance else lat
                 )
@@ -429,29 +511,41 @@ class VideoDiffusionPipeline:
                 t_b = jnp.broadcast_to(
                     tables.timesteps[i], (model_in.shape[0],)
                 )
-                eps, mut = unet.apply(
-                    variables, model_in, t_b, *prep["den_args"],
-                    pab_refresh=refresh_flags(i), mutable=mutable,
-                )
+                flags = refresh_flags(i)
+                if mesh is None:
+                    variables = {"params": uparams["params"]}
+                    if cache is not None:
+                        variables["pab_cache"] = cache
+                    eps, mut = _apply_local(
+                        variables, model_in, t_b, prep["den_args"], flags
+                    )
+                    new_cache = mut["pab_cache"]
+                else:
+                    if sharded[0] is None:
+                        sharded[0] = _make_sharded_steps(
+                            uparams, model_in, t_b, prep["den_args"]
+                        )
+                    create, step = sharded[0]
+                    if cache is None:
+                        eps, new_cache = create(
+                            uparams, model_in, t_b, prep["den_args"], flags
+                        )
+                    else:
+                        eps, new_cache = step(
+                            uparams, model_in, t_b, prep["den_args"],
+                            cache, flags,
+                        )
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
                     eps = u + guidance_scale * (c - u)
-                return sampler.step(lat, eps, i, tables), mut["pab_cache"]
+                return sampler.step(lat, eps, i, tables), new_cache
 
             # step 0: creates the cache collection
-            uparams = params[dkey]
-            latents, cache = unet_step(
-                latents, jnp.asarray(0), {"params": uparams["params"]},
-                ["pab_cache"],
-            )
+            latents, cache = unet_step(latents, jnp.asarray(0), None)
 
             def body(carry, i):
                 lat, cache = carry
-                lat, cache = unet_step(
-                    lat, i,
-                    {"params": uparams["params"], "pab_cache": cache},
-                    ["pab_cache"],
-                )
+                lat, cache = unet_step(lat, i, cache)
                 return (lat, cache), None
 
             (latents, _), _ = jax.lax.scan(
