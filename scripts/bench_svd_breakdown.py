@@ -71,7 +71,7 @@ def main():
         return np.random.default_rng(i).random((H, W, 3)).astype(np.float32)
 
     kw = dict(num_frames=F, height=H, width=W, num_inference_steps=steps,
-              decode_chunk=5, output_type="np")
+              decode_chunk=5)
 
     # ---- 1. conditioning prep alone --------------------------------------
     prep_fn = jax.jit(
@@ -143,7 +143,7 @@ def main():
 
     # ---- 5. full pipeline -------------------------------------------------
     def run_full(i):
-        out = pipe(fresh_img(500 + i), seed=80 + i, **kw)
+        out = pipe(fresh_img(500 + i), seed=80 + i, output_type="np", **kw)
         return out.frames[0][0, 0, 0, 0] * 1.0
 
     t0 = time.time()
