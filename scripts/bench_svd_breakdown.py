@@ -106,7 +106,8 @@ def main():
     def fwd_scan(params, x0, emb, aids):
         def body(x, _):
             out = unet.apply(params, x, jnp.full((2,), 0.5), emb, aids)
-            return jnp.concatenate([out, out], axis=-1) * 1.0001, None
+            nxt = jnp.concatenate([out, out], axis=-1).astype(x.dtype) * x.dtype.type(1.0001)
+            return nxt, None
 
         xK, _ = jax.lax.scan(body, x0, None, length=K)
         return xK

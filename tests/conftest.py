@@ -32,6 +32,52 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+# ---- quick tier ----------------------------------------------------------
+# `python -m pytest tests/ -m quick -q` — a fast per-subsystem subset for
+# iteration; the FULL suite stays the pre-commit gate (CLAUDE.md).  One
+# representative module per layer, minus the measured slow outliers inside
+# them (durations from the round-3 full-suite run).
+QUICK_MODULES = {
+    "test_kernels.py",          # Pallas flash attention + dispatch
+    "test_groupnorm_kernel.py",  # fused GN+SiLU
+    "test_schedulers.py",        # Euler/DDIM/EDM tables + steps
+    "test_models.py",            # UNetMotion/VAE/CLIP structure + semantics
+    "test_pipeline.py",          # base pipeline contract
+    "test_pipeline_unified.py",  # one-core generate across families
+    "test_metrics.py",           # MSE/PSNR/flicker/flow engine
+    "test_analysis.py",          # CSV/report parity layer
+    "test_harness.py",           # grid runner, config, resume
+    "test_serving.py",           # HTTP surface + micro-batching
+    "test_parallel.py",          # mesh/shard_map collectives
+    "test_convert.py",           # weight-conversion rule coverage
+    "test_subsystems.py",        # checkpoint/tracing/failure contracts
+}
+QUICK_EXCLUDE = (  # slow outliers (>20 s each measured) within quick modules
+    "test_traces_tiny_unet",
+    "test_graft_entry_dryrun",
+    "test_random_field_close_and_shape",
+    "test_incompatible_shapes_split_batches",
+    "test_concurrent_requests_share_one_batch",
+    "test_one_decode_program_and_latency_win",
+    "test_save_load_roundtrip_generation",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "quick: fast per-subsystem subset (~3 min); full suite is the gate",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.path.name in QUICK_MODULES and not any(
+            key in item.nodeid for key in QUICK_EXCLUDE
+        ):
+            item.add_marker(pytest.mark.quick)
+
+
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)

@@ -216,3 +216,27 @@ class TestSpatialTiledDecode:
         # tiles see truncated receptive fields: close, not identical
         diff = np.abs(tiled - full).mean()
         assert diff < 0.15 * np.abs(full).std(), diff
+
+
+class TestSingleKVAttention:
+    """The Skv==1 cross-attention fast path (nn/attention.py): softmax over
+    one key is identically 1, so output == to_out(v) broadcast. Reference:
+    the SAME params over the token DUPLICATED to Skv=2 take the general
+    path and are mathematically equal (0.5/0.5 probs of identical v)."""
+
+    def test_exact_vs_duplicated_kv(self):
+        from vdx.nn.attention import Attention
+
+        attn = Attention(query_dim=32, heads=2, head_dim=16, context_dim=24,
+                         policy=FP32_POLICY)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 9, 32)), jnp.float32)
+        ctx1 = jnp.asarray(rng.standard_normal((2, 1, 24)), jnp.float32)
+        params = attn.init(jax.random.PRNGKey(0), x, ctx1)
+        # param tree identical to the general path's (to_q/to_k still exist)
+        assert {"to_q", "to_k", "to_v", "to_out"} <= set(
+            params["params"].keys())
+        fast = attn.apply(params, x, ctx1)
+        ref = attn.apply(params, x, jnp.concatenate([ctx1, ctx1], axis=1))
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

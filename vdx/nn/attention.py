@@ -74,6 +74,25 @@ class Attention(nn.Module):
         )
 
         def compute() -> jnp.ndarray:
+            if ctx.shape[1] == 1 and not self.qk_norm and rope is None:
+                # Single-KV attention (SVD's image-embed cross-attn context
+                # is [B, 1, 1024]): softmax over one key is identically 1,
+                # so the attention output equals v broadcast over queries —
+                # to_q, the scores, and the softmax are mathematically dead.
+                # EXACT, not an approximation. to_q/to_k still run on one
+                # token so the param tree is unchanged for checkpoints and
+                # conversion; XLA DCEs the unused results.
+                _ = dense(inner, "to_q")(x[:, :1])
+                _ = dense(inner, "to_k")(ctx)
+                v1 = dense(inner, "to_v")(ctx)
+                out1 = nn.Dense(
+                    self.query_dim,
+                    use_bias=self.out_bias,
+                    dtype=self.policy.compute_dtype,
+                    param_dtype=self.policy.param_dtype,
+                    name="to_out",
+                )(v1)
+                return jnp.broadcast_to(out1, x.shape[:2] + (self.query_dim,))
             q = dense(inner, "to_q")(x)
             k = dense(inner, "to_k")(ctx)
             v = dense(inner, "to_v")(ctx)
