@@ -204,3 +204,26 @@ def test_flash_cross_attention_shapes():
     expected = _xla_attention(q, k, v, 0.125, None)
     got = _run_flash_interpret(q, k, v, 0.125, block_q=128, block_k=128)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+
+def test_packed_blockdiag_attention_matches_unpacked():
+    """xla_bf16p_packed (block-diag packed short-seq attention — measured
+    5x SLOWER than bf16p on TPU, kept as the documented eighth short-seq
+    attempt) is numerically identical to the unpacked bf16p path."""
+    import numpy as np
+
+    from vdx.ops.attention import (
+        _xla_attention_bf16probs,
+        dot_product_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    for B, S, H, D in [(37, 25, 5, 64), (16, 16, 8, 40)]:
+        q, k, v = (
+            jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+            .astype(jnp.bfloat16) for _ in range(3))
+        ref = _xla_attention_bf16probs(q, k, v, D ** -0.5)
+        got = dot_product_attention(q, k, v, impl="xla_bf16p_packed")
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=0, atol=2e-3)

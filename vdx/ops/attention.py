@@ -62,6 +62,50 @@ def _xla_attention_bf16probs(q, k, v, scale: float) -> jnp.ndarray:
     return (out / jnp.swapaxes(l, 1, 2)).astype(q.dtype)
 
 
+def _xla_attention_bf16probs_packed(q, k, v, scale: float, pack: int) -> jnp.ndarray:
+    """Block-diagonal PACKED short-sequence attention (exact; NOT dispatched).
+
+    Idea: the temporal sites run huge-batch tiny-seq attention
+    ([B*H*W, F, H, D], F=16..32); XLA lowers the scores/PV batched matmuls
+    with M=N=F — an FxF corner of each 128x128 MXU pass. Packing
+    P = 128//F batch rows into one [P*F, P*F] score matrix with a STATIC
+    block-diagonal -inf mask fills the tiles; off-block probs are exactly 0
+    so results match the unpacked path (verified bitwise at bf16).
+
+    MEASURED NEGATIVE (scripts/bench_attn_shapes.py, round 3): the Px
+    score-tensor HBM blowup + XLA's lowering of the 6D einsums lose 5x at
+    BOTH hot shapes — [18432,25,5,64]: 69.1 ms vs bf16p's 13.2;
+    [8192,16,8,40]: 33.5 vs 6.7. Kept callable (impl="xla_bf16p_packed")
+    and parity-tested as the record of the eighth short-seq attempt; the
+    dispatch keeps xla_bf16p.
+    """
+    B, S, H, D = q.shape
+    G = -(-B // pack)
+    if G * pack != B:
+        padb = G * pack - B
+        pad4 = ((0, padb), (0, 0), (0, 0), (0, 0))
+        q = jnp.pad(q, pad4)
+        k = jnp.pad(k, pad4)
+        v = jnp.pad(v, pad4)
+    qg = q.reshape(G, pack, S, H, D)
+    kg = k.reshape(G, pack, S, H, D)
+    vg = v.reshape(G, pack, S, H, D)
+    scores = jnp.einsum("gpshd,gqthd->ghpsqt", qg, kg,
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(scale, jnp.float32)
+    # rows of pack-slot p attend only pack-slot p's keys
+    blockdiag = jnp.eye(pack, dtype=bool)[None, None, :, None, :, None]
+    scores = jnp.where(blockdiag, scores, -1e30)
+    m = jnp.max(scores, axis=(4, 5), keepdims=True)
+    p = jnp.exp(scores - m).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), axis=(4, 5))  # [G, H, P, S]
+    out = jnp.einsum("ghpsqt,gqthd->gpshd", p, vg,
+                     preferred_element_type=jnp.float32)
+    out = out / l.transpose(0, 2, 3, 1)[..., None]
+    out = out.astype(q.dtype).reshape(G * pack, S, H, D)
+    return out[:B]
+
+
 @functools.lru_cache(maxsize=1)
 def _flash_available() -> bool:
     try:
@@ -129,6 +173,13 @@ def dot_product_attention(
         from vdx.kernels.flash_attention import flash_attention
 
         return flash_attention(q, k, v, scale=scale)
+    if impl == "xla_bf16p_packed":
+        assert mask is None, "packed path does not support masks"
+        S = q.shape[1]
+        pack = max(1, 128 // S)
+        if pack == 1 or k.shape[1] != S:
+            return _xla_attention_bf16probs(q, k, v, scale)
+        return _xla_attention_bf16probs_packed(q, k, v, scale, pack)
     if impl == "xla_bf16p":
         # bf16-prob fast path is only picked here or by explicit request —
         # impl="xla" always means the exact fp32-softmax program.
