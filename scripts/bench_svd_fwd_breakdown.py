@@ -16,6 +16,16 @@ Variants:
                     (spatial ResnetBlock2D result passes through)
   no-ttransformer — TemporalBlock -> identity (attn+FF+LNs of the
                     temporal transformer pair)
+  no-ttranspose   — the whole temporal path of TransformerSpatioTemporal
+                    skipped INCLUDING the [B,F,HW,C]<->[B*HW,F,C]
+                    transposes (delta vs no-ttransformer isolates the
+                    relayout cost)
+  gn-affine       — group_norm(_silu) stats skipped (scale/bias/silu
+                    kept): the GN reduction+normalise HBM cost
+  conv1x1         — all spatial 3x3 convs -> 1x1 (keeps channels):
+                    ~8/9 of conv FLOPs + the halo reads
+  no-sres         — spatial ResnetBlock2D -> shortcut only (total
+                    spatial-resnet cost incl. its GNs and convs)
 
 Usage: python -u scripts/bench_svd_fwd_breakdown.py [K] [which]
 """
@@ -30,7 +40,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-B, F, H, W = 2, 25, 72, 128  # CFG pair at the north-star latent shape
+import os
+
+if os.environ.get("VDX_BENCH_TINY"):  # CPU smoke of the ablation patches
+    B, F, H, W = 1, 4, 8, 8
+else:
+    B, F, H, W = 2, 25, 72, 128  # CFG pair at the north-star latent shape
 
 
 def build():
@@ -39,15 +54,18 @@ def build():
     from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    model = UNetSpatioTemporal(SVDUNetConfig.svd(), policy=policy)
+    cfg = (SVDUNetConfig.tiny() if os.environ.get("VDX_BENCH_TINY")
+           else SVDUNetConfig.svd())
+    model = UNetSpatioTemporal(cfg, policy=policy)
     params = fast_init(
         model,
-        jnp.zeros((1, 2, 8, 8, 8)), jnp.float32(0.5),
-        jnp.zeros((1, 1, 1024)), jnp.zeros((1, 3)),
+        jnp.zeros((1, 2, 8, 8, cfg.in_channels)), jnp.float32(0.5),
+        jnp.zeros((1, 1, cfg.cross_attention_dim)), jnp.zeros((1, 3)),
     )
     params = jax.device_put(params)  # once — not per timed call
     rng = np.random.default_rng(0)
-    emb = jnp.asarray(rng.standard_normal((B, 1, 1024)), jnp.bfloat16)
+    emb = jnp.asarray(
+        rng.standard_normal((B, 1, cfg.cross_attention_dim)), jnp.bfloat16)
     aids = jnp.asarray([[6.0, 127.0, 0.02]] * B, jnp.float32)
     return model, params, emb, aids
 
@@ -165,6 +183,142 @@ def main():
             run("no-tempres")
         finally:
             su.SpatioTemporalResBlock = real_cls
+
+    if which in ("all", "no-ttranspose"):
+        import flax.linen as fnn
+
+        import vdx.models.svd_unet as su
+
+        real_cls = su.TransformerSpatioTemporal
+
+        def spatial_only_tf(self, x, context, num_frames, refresh=None):
+            from vdx.models.svd_unet import AlphaBlender
+            from vdx.nn.transformer import BasicTransformerBlock
+
+            r = refresh or {}
+            BF, H, W, C = x.shape
+            residual = x
+            h = su.GroupNormModule(
+                32 if C % 32 == 0 else min(C, 8), 1e-6, self.policy,
+                name="norm")(x)
+            h = fnn.Dense(C, dtype=self.policy.compute_dtype,
+                          param_dtype=self.policy.param_dtype,
+                          name="proj_in")(h)
+            hs = h.reshape(BF, H * W, C)
+            hs = BasicTransformerBlock(
+                C, self.heads, self.head_dim, context_dim=self.context_dim,
+                policy=self.policy, attn_impl=self.attn_impl, pab=self.pab,
+                name="spatial_block",
+            )(hs, context, refresh_self=r.get("spatial"),
+              refresh_cross=r.get("cross"))
+            h = AlphaBlender(name="mix")(hs, hs).reshape(BF, H, W, C)
+            h = fnn.Dense(C, dtype=self.policy.compute_dtype,
+                          param_dtype=self.policy.param_dtype,
+                          name="proj_out")(h)
+            return h + residual
+
+        su.TransformerSpatioTemporal = type(
+            "TransformerSpatioTemporal", (real_cls,),
+            {"__call__": fnn.compact(spatial_only_tf)},
+        )
+        try:
+            run("no-ttranspose")
+        finally:
+            su.TransformerSpatioTemporal = real_cls
+
+    if which in ("all", "gn-affine"):
+        import vdx.ops.groupnorm as gn
+
+        real_gn = gn.group_norm
+        real_gns = gn.group_norm_silu
+
+        def affine_only(x, num_groups, scale, bias, eps=1e-5, stats_axis=None):
+            return (x * scale.astype(x.dtype) + bias.astype(x.dtype))
+
+        def affine_silu(x, num_groups, scale, bias, eps=1e-5, stats_axis=None):
+            h = x * scale.astype(x.dtype) + bias.astype(x.dtype)
+            return h * jax.nn.sigmoid(h)
+
+        gn.group_norm = affine_only
+        gn.group_norm_silu = affine_silu
+        # resnet.py / temporal.py imported these by value
+        import vdx.nn.resnet as rn
+        import vdx.nn.temporal as nntemp
+
+        real_tgn = nntemp.group_norm
+        rn.group_norm_silu = affine_silu
+        nntemp.group_norm = affine_only
+        try:
+            run("gn-affine")
+        finally:
+            gn.group_norm = real_gn
+            gn.group_norm_silu = real_gns
+            rn.group_norm_silu = real_gns
+            nntemp.group_norm = real_tgn
+
+    if which in ("all", "conv1x1"):
+        # Center-tap conv: IDENTICAL param tree (3x3 kernel + bias declared
+        # with the real shapes/inits) but only kernel[1,1] is contracted —
+        # measures the 8/9 spatial-tap FLOPs + halo-read share of the
+        # resnet 3x3 convs without re-initialising params.
+        import flax.linen as fnn
+
+        import vdx.nn.resnet as rn
+
+        real_conv = rn._conv
+
+        class CenterTapConv(fnn.Module):
+            features: int
+            policy: object
+
+            @fnn.compact
+            def __call__(self, x):
+                Cin = x.shape[-1]
+                kernel = self.param(
+                    "kernel", fnn.initializers.lecun_normal(),
+                    (3, 3, Cin, self.features), self.policy.param_dtype)
+                bias = self.param("bias", fnn.initializers.zeros,
+                                  (self.features,), self.policy.param_dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, kernel[1:2, 1:2].astype(self.policy.compute_dtype),
+                    window_strides=(1, 1), padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return y + bias.astype(self.policy.compute_dtype)
+
+        def conv_center(features, kernel, policy, name, stride=1):
+            if stride == 1 and kernel == 3:
+                return CenterTapConv(features, policy, name=name)
+            return real_conv(features, kernel, policy, name, stride)
+
+        rn._conv = conv_center
+        try:
+            run("conv1x1")
+        finally:
+            rn._conv = real_conv
+
+    if which in ("all", "no-sres"):
+        import flax.linen as fnn
+
+        import vdx.models.svd_unet as su
+        import vdx.nn.resnet as rn
+
+        real_cls = rn.ResnetBlock2D
+
+        def shortcut_only(self, x, temb=None):
+            if x.shape[-1] != self.out_channels:
+                return rn._conv(self.out_channels, 1, self.policy,
+                                "conv_shortcut")(x)
+            return x
+
+        patched = type("ResnetBlock2D", (real_cls,),
+                       {"__call__": fnn.compact(shortcut_only)})
+        rn.ResnetBlock2D = patched
+        su.ResnetBlock2D = patched
+        try:
+            run("no-sres")
+        finally:
+            rn.ResnetBlock2D = real_cls
+            su.ResnetBlock2D = real_cls
 
     if which in ("all", "no-ttransformer"):
         import vdx.nn.temporal as nntemp
