@@ -26,6 +26,9 @@ Variants:
                     ~8/9 of conv FLOPs + the halo reads
   no-sres         — spatial ResnetBlock2D -> shortcut only (total
                     spatial-resnet cost incl. its GNs and convs)
+  tconv-mm        — temporal 3x1x1 convs computed as three shifted CxC
+                    matmuls (nn/temporal.FrameConv3) instead of nn.Conv:
+                    candidate FIX, not an ablation — exact same math
 
 Usage: python -u scripts/bench_svd_fwd_breakdown.py [K] [which]
 """
@@ -319,6 +322,29 @@ def main():
         finally:
             rn.ResnetBlock2D = real_cls
             su.ResnetBlock2D = real_cls
+
+    if which in ("all", "tconv-mm"):
+        import vdx.models.svd_unet as su
+        from vdx.nn.temporal import FrameConv3
+        from vdx.ops.halo import frame_halo_pad
+
+        real_tconv = su.SpatioTemporalResBlock._tconv
+
+        def tconv_mm(self, t, axis, name, zero_init):
+            if axis is None:
+                pad = "same"
+            else:
+                t = frame_halo_pad(t, axis, halo=1, frame_axis=1)
+                pad = "valid"
+            return FrameConv3(self.out_channels, padding=pad,
+                              policy=self.policy, zero_init=zero_init,
+                              name=name)(t)
+
+        su.SpatioTemporalResBlock._tconv = tconv_mm
+        try:
+            run("tconv-mm")
+        finally:
+            su.SpatioTemporalResBlock._tconv = real_tconv
 
     if which in ("all", "no-ttransformer"):
         import vdx.nn.temporal as nntemp

@@ -240,3 +240,45 @@ class TestSingleKVAttention:
         ref = attn.apply(params, x, jnp.concatenate([ctx1, ctx1], axis=1))
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestFrameConv3:
+    """FrameConv3 (temporal 3x1x1 conv as three shifted matmuls) must be
+    numerically equal to nn.Conv((3,1,1)) ON THE SAME PARAMS — the param
+    tree is declared identical so checkpoints/conversion are unaffected."""
+
+    def _ref_conv(self, C):
+        import flax.linen as nn
+
+        return nn.Conv(C, (3, 1, 1), padding=[(1, 1), (0, 0), (0, 0)],
+                       dtype=jnp.float32, param_dtype=jnp.float32)
+
+    def test_same_padding_matches_conv(self):
+        from vdx.nn.temporal import FrameConv3
+
+        C = 8
+        mm = FrameConv3(C, padding="same", policy=FP32_POLICY)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 5, 3, 4, C)), jnp.float32)
+        params = mm.init(jax.random.PRNGKey(0), x)
+        assert params["params"]["kernel"].shape == (3, 1, 1, C, C)
+        ref = self._ref_conv(C).apply(params, x)
+        got = mm.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_valid_padding_matches_conv(self):
+        from vdx.nn.temporal import FrameConv3
+
+        C = 8
+        mm = FrameConv3(C, padding="valid", policy=FP32_POLICY)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 7, 3, 4, C)), jnp.float32)
+        params = mm.init(jax.random.PRNGKey(0), x)
+        import flax.linen as nn
+
+        ref = nn.Conv(C, (3, 1, 1), padding="VALID", dtype=jnp.float32,
+                      param_dtype=jnp.float32).apply(params, x)
+        got = mm.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

@@ -41,6 +41,51 @@ def _ring_axis(temporal_impl: str):
     return temporal_impl.split(":", 1)[1] if temporal_impl.startswith("ring:") else None
 
 
+class FrameConv3(nn.Module):
+    """3x1x1 conv over frames computed as three shifted CxC matmuls.
+
+    Parameter tree is IDENTICAL to ``nn.Conv(features, (3, 1, 1))`` —
+    kernel [3, 1, 1, Cin, Cout] + bias — so checkpoints and the
+    conversion rules (core/convert.py) see no difference. The three
+    frame taps become three [M, Cin] x [Cin, Cout] contractions with a
+    pad-shift, which XLA tiles straight onto the MXU instead of lowering
+    a kernel-3 depth conv (measured vs nn.Conv in
+    scripts/bench_svd_fwd_breakdown.py tconv-mm).
+
+    ``padding="same"``: zero padding over frames (local execution).
+    ``padding="valid"``: input already halo-padded by one frame on each
+    side (frame-sharded execution, ops/halo.py).
+    """
+
+    features: int
+    padding: str = "same"
+    policy: Policy = DEFAULT_POLICY
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, F, H, W, C]
+        Cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.zeros if self.zero_init
+            else nn.initializers.lecun_normal(),
+            (3, 1, 1, Cin, self.features), self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.policy.param_dtype)
+        w = kernel.reshape(3, Cin, self.features).astype(self.policy.compute_dtype)
+        xc = x.astype(self.policy.compute_dtype)
+        mm = lambda t, wi: jnp.einsum("bfhwc,cd->bfhwd", t, wi)  # noqa: E731
+        pad5 = lambda y, lo, hi: jnp.pad(  # noqa: E731
+            y, ((0, 0), (lo, hi), (0, 0), (0, 0), (0, 0)))
+        if self.padding == "same":
+            y = mm(xc, w[1])
+            y = y + pad5(mm(xc[:, :-1], w[0]), 1, 0)
+            y = y + pad5(mm(xc[:, 1:], w[2]), 0, 1)
+        else:  # valid over a halo-padded frame axis: F_out = F - 2
+            y = mm(xc[:, :-2], w[0]) + mm(xc[:, 1:-1], w[1]) + mm(xc[:, 2:], w[2])
+        return y + bias.astype(y.dtype)
+
+
 class TemporalBlock(nn.Module):
     """BasicTransformerBlock with sinusoidal frame PE and double self-attn."""
 
