@@ -40,6 +40,10 @@ def main():
         (32, 1024, 640),   # level 1
         (32, 256, 1280),   # level 2
         (2, 65536, 320),   # motion-module GN (stats span F*H*W)
+        (50, 9216, 320),   # SVD L0 spatial resnet GN (576x1024, CFG pair)
+        (50, 2304, 640),   # SVD L1
+        (50, 576, 1280),   # SVD L2
+        (2, 230400, 320),  # SVD temporal-res GN (stats span F*H*W)
     ]
     if len(sys.argv) > 1:  # select shapes by index, e.g. "0,3"
         idx = [int(i) for i in sys.argv[1].split(",")]

@@ -29,6 +29,8 @@ Variants:
   tconv-mm        — temporal 3x1x1 convs computed as three shifted CxC
                     matmuls (nn/temporal.FrameConv3) instead of nn.Conv:
                     candidate FIX, not an ablation — exact same math
+  sconv-mm        — spatial 3x3 resnet convs as nine shifted CxC matmuls
+                    (nn/resnet.SpatialConv3x3): candidate FIX
 
 Usage: python -u scripts/bench_svd_fwd_breakdown.py [K] [which]
 """
@@ -345,6 +347,23 @@ def main():
             run("tconv-mm")
         finally:
             su.SpatioTemporalResBlock._tconv = real_tconv
+
+    if which in ("all", "sconv-mm"):
+        import vdx.nn.resnet as rn
+        from vdx.nn.resnet import SpatialConv3x3
+
+        real_conv = rn._conv
+
+        def conv_mm(features, kernel, policy, name, stride=1):
+            if stride == 1 and kernel == 3:
+                return SpatialConv3x3(features, policy, name=name)
+            return real_conv(features, kernel, policy, name, stride)
+
+        rn._conv = conv_mm
+        try:
+            run("sconv-mm")
+        finally:
+            rn._conv = real_conv
 
     if which in ("all", "no-ttransformer"):
         import vdx.nn.temporal as nntemp

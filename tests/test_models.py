@@ -282,3 +282,25 @@ class TestFrameConv3:
         got = mm.apply(params, x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestSpatialConv3x3:
+    """SpatialConv3x3 (3x3 conv as nine shifted matmuls) must equal
+    nn.Conv((3,3), SAME) on the same params — identical param tree."""
+
+    def test_matches_conv(self):
+        import flax.linen as nn
+
+        from vdx.nn.resnet import SpatialConv3x3
+
+        C = 8
+        mm = SpatialConv3x3(C, policy=FP32_POLICY)
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((2, 5, 6, C)), jnp.float32)
+        params = mm.init(jax.random.PRNGKey(0), x)
+        assert params["params"]["kernel"].shape == (3, 3, C, C)
+        ref = nn.Conv(C, (3, 3), padding=[(1, 1), (1, 1)], dtype=jnp.float32,
+                      param_dtype=jnp.float32).apply(params, x)
+        got = mm.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)

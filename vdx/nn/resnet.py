@@ -12,10 +12,48 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.ops.groupnorm import group_norm_silu
+
+
+class SpatialConv3x3(nn.Module):
+    """SAME 3x3 conv computed as nine shifted CxC matmuls.
+
+    Parameter tree is IDENTICAL to ``nn.Conv(features, (3, 3))`` — kernel
+    [3, 3, Cin, Cout] + bias, same initializers — so checkpoints and
+    conversion rules see no difference. The nine taps become
+    [M, Cin] x [Cin, Cout] contractions the MXU tiles directly; measured
+    against XLA's conv lowering in scripts/bench_svd_fwd_breakdown.py
+    (sconv-mm variant).
+    """
+
+    features: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, H, W, C]
+        Cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, Cin, self.features), self.policy.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.policy.param_dtype)
+        w = kernel.astype(self.policy.compute_dtype)
+        xc = x.astype(self.policy.compute_dtype)
+        H, W = x.shape[1], x.shape[2]
+        # pad once; each tap is a static slice -> one matmul -> accumulate
+        xp = jnp.pad(xc, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        y = None
+        for dh in range(3):
+            for dw in range(3):
+                t = jax.lax.slice_in_dim(
+                    jax.lax.slice_in_dim(xp, dh, dh + H, axis=1),
+                    dw, dw + W, axis=2)
+                c = jnp.einsum("bhwc,cd->bhwd", t, w[dh, dw])
+                y = c if y is None else y + c
+        return y + bias.astype(y.dtype)
 
 
 def _conv(features: int, kernel: int, policy: Policy, name: str, stride: int = 1):
