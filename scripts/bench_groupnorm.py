@@ -19,16 +19,32 @@ from vdx.kernels.groupnorm import fused_group_norm, fused_group_norm_2phase
 from vdx.ops.groupnorm import _group_norm_silu_xla
 
 
-def bench(fn, make_args, iters=5):
-    fn(*make_args(0))  # compile
+def bench(fn, make_args, iters=3, K=30):
+    """K-chained-scan timing (PERF.md methodology): per-dispatch tunnel
+    latency is ~30 ms and an EAGER jnp.sum materialisation of a big
+    output costs ~10 s, so single-call timing is pure noise for a ~2 ms
+    op.  The scan carries the output back into the next input (no DCE)
+    and one jitted scalar sum forces execution."""
+
+    @jax.jit
+    def loop(x, s, b):
+        def body(xc, _):
+            y = fn(xc, s, b)
+            y = (y.astype(jnp.float32) * 1.0001
+                 + xc.astype(jnp.float32) * 0.01).astype(xc.dtype)
+            return y, None
+
+        xK, _ = jax.lax.scan(body, x, None, length=K)
+        return jnp.sum(xK.astype(jnp.float32))
+
+    float(loop(*make_args(0)))  # compile + warm
     times = []
     for i in range(1, iters + 1):
         args = make_args(i)
         t0 = time.time()
-        out = fn(*args)
-        float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+        float(loop(*args))
         times.append(time.time() - t0)
-    return min(times)
+    return min(times) / K
 
 
 def main():
@@ -53,11 +69,15 @@ def main():
         scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
         bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
 
-        def make(i, B=B, S=S, C=C):
-            x = jnp.asarray(
-                (rng.standard_normal((B, S, C)) + i * 0.001).astype(np.float32)
-            ).astype(jnp.bfloat16)
-            return (x, scale, bias)
+        # host-gen once per shape (42 s for the big shapes on this core);
+        # fresh values per timed iteration come from a device-side add
+        x0 = jnp.asarray(
+            rng.standard_normal((B, S, C), dtype=np.float32)
+        ).astype(jnp.bfloat16)
+        perturb = jax.jit(lambda x, i: x + i * jnp.bfloat16(0.001))
+
+        def make(i):
+            return (perturb(x0, i), scale, bias)
 
         xla = bench(lambda x, s, b: _group_norm_silu_xla(x, G, s, b), make)
         single_elems = B and S * C
