@@ -6,7 +6,9 @@ the single-chip datapoint (round 1: 63.4 s) with the current kernel stack.
 Methodology per PERF.md: fresh image per timed run, host materialisation,
 compile excluded (first call), bf16 production config.
 
-Usage: python -u scripts/bench_svd_northstar.py [runs]
+Usage: python -u scripts/bench_svd_northstar.py [runs] [pab]
+  optional 2nd arg "pab" measures the PAB turbo schedule (PABConfig()
+  default 2/4/6) instead of exact mode.
 """
 
 import sys
@@ -31,7 +33,13 @@ def main():
     from vdx.pipelines.svd import SVDImg2VidPipeline
 
     enable_compilation_cache()
-    print("backend:", jax.default_backend(), flush=True)
+    use_pab = len(sys.argv) > 2 and sys.argv[2] == "pab"
+    pab = None
+    if use_pab:
+        from vdx.pipelines.base import PABConfig
+
+        pab = PABConfig()
+    print("backend:", jax.default_backend(), "pab:", use_pab, flush=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
     pipe = SVDImg2VidPipeline.with_random_params(
@@ -40,6 +48,7 @@ def main():
         vae_config=VAEConfig.sd15(),
         vision_config=CLIPVisionConfig.vit_h(),
         policy=policy,
+        pab=pab,
     )
     print(f"init: {time.time() - t0:.1f} s", flush=True)
 

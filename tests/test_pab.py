@@ -62,3 +62,64 @@ class TestPAB:
         turbo.params = exact_pipe.params
         with pytest.raises(ValueError, match="PAB"):
             turbo("x", **GEN)
+
+
+class TestSVDPAB:
+    """PAB on the north-star SVD pipeline (EDM sampler) via the unified
+    compiled core: interval-1 refresh must reproduce exact; broadcasting
+    must stay close while actually skipping work."""
+
+    KW = None  # built lazily (clip-vision config import kept local)
+
+    @classmethod
+    def _kw(cls):
+        if cls.KW is None:
+            from vdx.models.clip_vision import CLIPVisionConfig
+            from vdx.models.svd_unet import SVDUNetConfig
+
+            cls.KW = dict(
+                unet_config=SVDUNetConfig.tiny(),
+                vae_config=VAEConfig.tiny(),
+                vision_config=CLIPVisionConfig.tiny(),
+                policy=FP32_POLICY,
+            )
+        return cls.KW
+
+    GEN = dict(num_frames=4, height=64, width=64, num_inference_steps=6,
+               seed=3, decode_chunk=2, output_type="np")
+
+    @pytest.fixture(scope="class")
+    def svd_exact(self):
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        return SVDImg2VidPipeline.with_random_params(seed=0, **self._kw())
+
+    @pytest.fixture(scope="class")
+    def image(self):
+        return np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
+
+    def test_refresh_every_step_is_exact(self, svd_exact, image):
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        pab = PABConfig(spatial_interval=1, temporal_interval=1,
+                        cross_interval=1, warmup_steps=0, cooldown_steps=0)
+        turbo = SVDImg2VidPipeline(pab=pab, **self._kw())
+        turbo.params = svd_exact.params
+        a = svd_exact(image, **self.GEN).frames[0]
+        b = turbo(image, **self.GEN).frames[0]
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+    def test_broadcast_stays_close(self, svd_exact, image):
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        pab = PABConfig(spatial_interval=2, temporal_interval=3,
+                        cross_interval=3, warmup_steps=1, cooldown_steps=1)
+        turbo = SVDImg2VidPipeline(pab=pab, **self._kw())
+        turbo.params = svd_exact.params
+        a = svd_exact(image, **self.GEN).frames[0].astype(np.float64)
+        b = turbo(image, **self.GEN).frames[0].astype(np.float64)
+        mse = ((a - b) / 255.0) ** 2
+        psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
+        assert psnr > 20.0, psnr
+        assert not np.array_equal(a, b)
