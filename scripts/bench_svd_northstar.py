@@ -38,7 +38,13 @@ def main():
     if use_pab:
         from vdx.pipelines.base import PABConfig
 
-        pab = PABConfig()
+        # Temporal-only broadcast: at 576x1024 the all-sites cache is
+        # ~10 GB and OOMs the single chip (measured 18.3 G > 15.75 G HBM);
+        # interval-1 types now allocate NO cache, leaving ~5 GB of
+        # temporal caches against the ~680 ms/fwd temporal-transformer
+        # share (PERF.md round-3 attribution).
+        pab = PABConfig(spatial_interval=1, temporal_interval=4,
+                        cross_interval=1)
     print("backend:", jax.default_backend(), "pab:", use_pab, flush=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()

@@ -415,10 +415,20 @@ class VideoDiffusionPipeline:
 
         def refresh_flags(i):
             hot = (i < pab.warmup_steps) | (i >= num_steps - pab.cooldown_steps)
+
+            def flag(interval):
+                # interval 1 == refresh every step == the exact computation:
+                # pass None so the attention modules skip the cache variable
+                # entirely — at the SVD north-star shape each cached site is
+                # ~295 MB of HBM, and an all-sites cache OOMs a single chip
+                # (measured: 18.3 G > 15.75 G). A temporal-only schedule
+                # (spatial/cross intervals 1) must not pay for unused caches.
+                return None if interval == 1 else hot | (i % interval == 0)
+
             return {
-                "spatial": hot | (i % pab.spatial_interval == 0),
-                "temporal": hot | (i % pab.temporal_interval == 0),
-                "cross": hot | (i % pab.cross_interval == 0),
+                "spatial": flag(pab.spatial_interval),
+                "temporal": flag(pab.temporal_interval),
+                "cross": flag(pab.cross_interval),
             }
 
         def _apply_local(variables, model_in, t_b, den_args, flags):
@@ -439,11 +449,12 @@ class VideoDiffusionPipeline:
             local_in = jax.eval_shape(
                 lambda x: x[:, : model_in.shape[F_axis] // n], model_in
             )
+            eval_flags = {
+                k: (None if v is None else True)
+                for k, v in refresh_flags(0).items()
+            }
             _, cache_struct = jax.eval_shape(
-                lambda v, mi, tb, da: _apply_local(
-                    v, mi, tb, da,
-                    {"spatial": True, "temporal": True, "cross": True},
-                ),
+                lambda v, mi, tb, da: _apply_local(v, mi, tb, da, eval_flags),
                 {"params": uparams["params"]}, local_in, t_b, den_args,
             )
 
@@ -453,7 +464,7 @@ class VideoDiffusionPipeline:
                 return P(None, "frames") if temporal else P("frames")
 
             cache_specs = jax.tree_util.tree_map_with_path(
-                leaf_spec, cache_struct["pab_cache"]
+                leaf_spec, cache_struct.get("pab_cache", {})
             )
             ring = self._ring_model
             da_specs = (P(),) * len(den_args)
@@ -469,7 +480,7 @@ class VideoDiffusionPipeline:
                     {"params": params["params"]}, mi, tb, *da,
                     pab_refresh=flags, mutable=["pab_cache"],
                 )
-                return eps, mut["pab_cache"]
+                return eps, mut.get("pab_cache", {})
 
             @functools.partial(
                 shard_map, mesh=mesh,
@@ -483,7 +494,7 @@ class VideoDiffusionPipeline:
                     {"params": params["params"], "pab_cache": cache},
                     mi, tb, *da, pab_refresh=flags, mutable=["pab_cache"],
                 )
-                return eps, mut["pab_cache"]
+                return eps, mut.get("pab_cache", {})
 
             return create, step
 
@@ -519,7 +530,7 @@ class VideoDiffusionPipeline:
                     eps, mut = _apply_local(
                         variables, model_in, t_b, prep["den_args"], flags
                     )
-                    new_cache = mut["pab_cache"]
+                    new_cache = mut.get("pab_cache", {})
                 else:
                     if sharded[0] is None:
                         sharded[0] = _make_sharded_steps(
