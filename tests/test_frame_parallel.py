@@ -119,3 +119,35 @@ class TestFrameSharded:
         out = jax.jit(sharded_apply)(params, sample_sharded, t, ctx)
         assert out.shape == sample.shape
         assert out.sharding.spec == P(None, "frames")
+
+
+class TestSingleFramePerShard:
+    def test_svd_pipeline_flocal_1_exact(self):
+        """REGRESSION: with num_frames == frame_shards every shard holds ONE
+        frame, so temporal self-attention's local sequence length is 1 —
+        which used to trigger the single-KV cross-attention fast path and
+        silently attend locally instead of ring-attending across the global
+        frame axis (96% of output pixels wrong). The fast path is now gated
+        off ring impls (nn/attention.py)."""
+        import jax
+
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kw = dict(unet_config=SVDUNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+                  vision_config=CLIPVisionConfig.tiny(), policy=FP32_POLICY)
+        gen = dict(num_frames=4, height=64, width=64, num_inference_steps=3,
+                   seed=3, decode_chunk=1, output_type="np")
+        img = np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
+        exact = SVDImg2VidPipeline.with_random_params(seed=0, **kw)
+        a = exact(img, **gen).frames[0]
+        sharded = SVDImg2VidPipeline(frame_shards=4, **kw)
+        sharded.params = exact.params
+        b = sharded(img, **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )

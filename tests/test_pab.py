@@ -123,3 +123,30 @@ class TestSVDPAB:
         psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
         assert psnr > 20.0, psnr
         assert not np.array_equal(a, b)
+
+    def test_temporal_only_composes_with_frame_shards(self, svd_exact, image):
+        """The 8-chip turbo configuration behind PERF.md's 5.6 s projection:
+        temporal-only PAB (spatial/cross interval 1 -> NO cache allocated
+        for those types) composed with frame sharding. The shard_map cache
+        specs must handle the reduced cache tree; output matches the local
+        pipeline with the same schedule."""
+        import jax
+
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        gen = {**self.GEN, "num_frames": 8, "decode_chunk": 2}
+        pab = PABConfig(spatial_interval=1, temporal_interval=3,
+                        cross_interval=1, warmup_steps=1, cooldown_steps=1)
+        local = SVDImg2VidPipeline(pab=pab, **self._kw())
+        local.params = svd_exact.params
+        sharded = SVDImg2VidPipeline(pab=pab, frame_shards=4, **self._kw())
+        sharded.params = svd_exact.params
+        a = local(image, **gen).frames[0]
+        b = sharded(image, **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
+        # the schedule IS skipping work vs exact
+        assert not np.array_equal(a, svd_exact(image, **gen).frames[0])

@@ -74,7 +74,12 @@ class Attention(nn.Module):
         )
 
         def compute() -> jnp.ndarray:
-            if ctx.shape[1] == 1 and not self.qk_norm and rope is None:
+            if (ctx.shape[1] == 1 and not self.qk_norm and rope is None
+                    and not self.attn_impl.startswith("ring")):
+                # NOT under ring sharding: there the LOCAL shard can be one
+                # frame while the GLOBAL sequence is longer — the fast path
+                # would silently attend locally (caught by
+                # tests/test_frame_parallel.py F_local=1 parity).
                 # Single-KV attention (SVD's image-embed cross-attn context
                 # is [B, 1, 1024]): softmax over one key is identically 1,
                 # so the attention output equals v broadcast over queries —
