@@ -223,3 +223,74 @@ class TestBatchingService:
         r2 = svc.generate({"prompt": "b", "seed": 2, "num_frames": 4})
         assert r1["num_frames"] == 2 and r2["num_frames"] == 4
         assert svc.batches_run == 2
+
+
+class TestImg2VidService:
+    """SVD img2vid on the serving surface: POST /img2vid with a base64
+    image -> frames; deterministic per seed; text2video route untouched."""
+
+    @pytest.fixture(scope="class")
+    def i2v_server(self, pipe):
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+        from vdx.serving.server import Img2VidService
+
+        svd = SVDImg2VidPipeline.with_random_params(
+            seed=0,
+            unet_config=SVDUNetConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        t2v = GenerationService(
+            pipe, defaults={"num_frames": 2, "num_inference_steps": 2,
+                            "height": 64, "width": 64})
+        i2v = Img2VidService(
+            svd, defaults={"num_frames": 2, "num_inference_steps": 2,
+                           "height": 64, "width": 64, "decode_chunk": 1})
+        srv = GenerationServer(t2v, port=0, img2vid_service=i2v)
+        srv.start()
+        yield srv
+        srv.stop()
+
+    def _post(self, srv, path, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}{path}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    def _image_b64(self):
+        from PIL import Image
+
+        rng = np.random.default_rng(5)
+        img = Image.fromarray(
+            (rng.random((48, 48, 3)) * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+
+    def test_roundtrip_and_determinism(self, i2v_server):
+        payload = {"image": self._image_b64(), "seed": 11}
+        a = self._post(i2v_server, "/img2vid", payload)
+        assert a["num_frames"] == 2
+        from PIL import Image
+
+        f0 = np.asarray(Image.open(
+            io.BytesIO(base64.b64decode(a["frames"][0]))))
+        assert f0.shape == (64, 64, 3)
+        b = self._post(i2v_server, "/img2vid", payload)
+        assert a["frames"] == b["frames"]  # same seed -> identical video
+
+    def test_missing_route_without_service(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/img2vid",
+            data=json.dumps({"image": "x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 404

@@ -1,3 +1,9 @@
-from vdx.serving.server import GenerationServer, GenerationService
+from vdx.serving.server import (
+    BatchingGenerationService,
+    GenerationServer,
+    GenerationService,
+    Img2VidService,
+)
 
-__all__ = ["GenerationServer", "GenerationService"]
+__all__ = ["BatchingGenerationService", "GenerationServer",
+           "GenerationService", "Img2VidService"]

@@ -94,6 +94,60 @@ class GenerationService:
         }
 
 
+class Img2VidService(GenerationService):
+    """Image-to-video serving for the north-star SVD pipeline.
+
+    POST body: {image: base64 PNG/JPEG, num_frames?, num_inference_steps?,
+    height?, width?, seed?, decode_chunk?} -> same frames/timings payload
+    as text2video. The conditioning image is decoded host-side, resized to
+    the requested geometry, and fed to the pipeline as float32 [0, 1]
+    (SVDImg2VidPipeline's input contract)."""
+
+    def __init__(self, pipe, defaults: Optional[dict] = None):
+        super().__init__(pipe, {
+            "num_frames": 25,
+            "num_inference_steps": 25,
+            "height": 576,
+            "width": 1024,
+            "decode_chunk": 5,
+            **(defaults or {}),
+        })
+        # text2video keys that do not apply to img2vid
+        for k in ("guidance_scale", "negative_prompt"):
+            self.defaults.pop(k, None)
+
+    def generate(self, request: dict) -> dict:
+        import numpy as np
+        from PIL import Image
+
+        raw = base64.b64decode(request["image"])
+        kwargs = {k: request.get(k, v) for k, v in self.defaults.items()}
+        img = Image.open(io.BytesIO(raw)).convert("RGB").resize(
+            (int(kwargs["width"]), int(kwargs["height"])), Image.BILINEAR
+        )
+        image = np.asarray(img, dtype=np.float32) / 255.0
+        seed = int(request.get("seed", 0))
+        t0 = time.time()
+        with self._lock:
+            out = self.pipe(image, seed=seed, output_type="np", **kwargs)
+        dt = time.time() - t0
+        frames = out.frames[0]
+
+        encoded = []
+        for f in frames:
+            buf = io.BytesIO()
+            Image.fromarray(f).save(buf, format="PNG")
+            encoded.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        self.requests_served += 1
+        self.total_seconds += dt
+        return {
+            "frames": encoded,
+            "num_frames": len(frames),
+            "timings": {"seconds": round(dt, 3)},
+            "seed": seed,
+        }
+
+
 class BatchingGenerationService(GenerationService):
     """Cross-request micro-batching.
 
@@ -237,10 +291,15 @@ class BatchingGenerationService(GenerationService):
 
 
 class GenerationServer:
+    """HTTP front. ``service`` answers POST /generate (text2video);
+    optional ``img2vid_service`` answers POST /img2vid (SVD)."""
+
     def __init__(self, service: GenerationService, host: str = "127.0.0.1",
-                 port: int = 8080):
+                 port: int = 8080,
+                 img2vid_service: Optional["Img2VidService"] = None):
         self.service = service
         svc = service
+        i2v = img2vid_service
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -261,13 +320,17 @@ class GenerationServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/generate":
+                if self.path == "/generate":
+                    target = svc
+                elif self.path == "/img2vid" and i2v is not None:
+                    target = i2v
+                else:
                     self._reply(404, {"error": "not found"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     request = json.loads(self.rfile.read(n))
-                    self._reply(200, svc.generate(request))
+                    self._reply(200, target.generate(request))
                 except Exception as e:  # noqa: BLE001 — error surface to client
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
