@@ -150,3 +150,52 @@ class TestSVDPAB:
         )
         # the schedule IS skipping work vs exact
         assert not np.array_equal(a, svd_exact(image, **gen).frames[0])
+
+
+class TestPABAllFamilies:
+    """PAB plumbing on the remaining PAB-capable families (Latte DiT — the
+    PAB paper's native architecture — and ModelScope UNet3D): interval-1
+    refresh reproduces the exact pipeline; broadcasting stays close while
+    skipping work. (CogVideoX is excluded by design: joint text+video 3D
+    attention has no separable spatial/temporal/cross sites to broadcast.)"""
+
+    GEN2 = dict(num_frames=4, height=64, width=64, num_inference_steps=6,
+                seed=3, output_type="np")
+
+    def _families(self):
+        from vdx.models.dit import LatteConfig
+        from vdx.models.unet3d import UNet3DConfig
+        from vdx.pipelines import LattePipeline, TextToVideoMSPipeline
+
+        common = dict(vae_config=VAEConfig.tiny(),
+                      text_config=CLIPTextConfig.tiny(), policy=FP32_POLICY)
+        return [
+            (LattePipeline, dict(unet_config=LatteConfig.tiny(), **common)),
+            (TextToVideoMSPipeline,
+             dict(unet_config=UNet3DConfig.tiny(), **common)),
+        ]
+
+    def test_interval1_exact_and_broadcast_close(self):
+        for cls, kw in self._families():
+            exact = cls.with_random_params(seed=0, **kw)
+            a = exact("birds flying", **self.GEN2).frames[0]
+
+            pab1 = PABConfig(spatial_interval=1, temporal_interval=1,
+                             cross_interval=1, warmup_steps=0,
+                             cooldown_steps=0)
+            turbo1 = cls(pab=pab1, **kw)
+            turbo1.params = exact.params
+            b = turbo1("birds flying", **self.GEN2).frames[0]
+            diff = np.abs(a.astype(int) - b.astype(int))
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, cls.__name__
+
+            pab = PABConfig(spatial_interval=2, temporal_interval=3,
+                            cross_interval=3, warmup_steps=1,
+                            cooldown_steps=1)
+            turbo = cls(pab=pab, **kw)
+            turbo.params = exact.params
+            c = turbo("birds flying", **self.GEN2).frames[0]
+            mse = ((a.astype(np.float64) - c.astype(np.float64)) / 255.0) ** 2
+            psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
+            assert psnr > 20.0, (cls.__name__, psnr)
+            assert not np.array_equal(a, c), cls.__name__

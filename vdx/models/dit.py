@@ -76,9 +76,11 @@ class DiTBlock(nn.Module):
     config: LatteConfig
     use_cross_attn: bool = False
     policy: Policy = DEFAULT_POLICY
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, x, c, context: Optional[jnp.ndarray] = None):
+    def __call__(self, x, c, context: Optional[jnp.ndarray] = None,
+                 refresh_self=None, refresh_cross=None):
         cfg = self.config
         D = cfg.hidden_size
         head_dim = D // cfg.num_heads
@@ -92,7 +94,8 @@ class DiTBlock(nn.Module):
 
         h = ln("norm1")(x).astype(x.dtype)
         h = _modulate(h, shift_a, scale_a)
-        h = Attention(D, cfg.num_heads, head_dim, policy=self.policy, name="attn")(h)
+        h = Attention(D, cfg.num_heads, head_dim, policy=self.policy,
+                      pab=self.pab, name="attn")(h, refresh=refresh_self)
         x = x + gate_a * h
 
         if self.use_cross_attn and context is not None:
@@ -100,8 +103,8 @@ class DiTBlock(nn.Module):
             h = Attention(
                 D, cfg.num_heads, head_dim,
                 context_dim=cfg.cross_attention_dim,
-                policy=self.policy, name="cross_attn",
-            )(h, context)
+                policy=self.policy, pab=self.pab, name="cross_attn",
+            )(h, context, refresh=refresh_cross)
             x = x + h
 
         h = ln("norm2")(x).astype(x.dtype)
@@ -115,6 +118,9 @@ class LatteDiT(nn.Module):
     config: LatteConfig = LatteConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"  # threaded through ops.attention's dispatch
+    # Pyramid Attention Broadcast — the PAB paper's native architecture
+    # family is exactly this (factorised space/time DiT)
+    pab: bool = False
 
     @nn.compact
     def __call__(
@@ -122,6 +128,8 @@ class LatteDiT(nn.Module):
         sample: jnp.ndarray,  # [B, F, h, w, C]
         timestep: jnp.ndarray,  # scalar or [B]
         context: Optional[jnp.ndarray] = None,  # [B, S, cross_dim]
+        *,
+        pab_refresh=None,  # {'spatial','temporal','cross'}: bool | None
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, C = sample.shape
@@ -158,6 +166,7 @@ class LatteDiT(nn.Module):
         if context is not None:
             context = context.astype(self.policy.compute_dtype)
 
+        r = pab_refresh or {}
         for i in range(cfg.depth):
             if i % 2 == 0:
                 # spatial block: [B*F, N, D]
@@ -166,8 +175,9 @@ class LatteDiT(nn.Module):
                 ctx = jnp.repeat(context, F, axis=0) if context is not None else None
                 xs = DiTBlock(
                     cfg, use_cross_attn=context is not None,
-                    policy=self.policy, name=f"blocks_{i}",
-                )(xs, cs, ctx)
+                    policy=self.policy, pab=self.pab, name=f"blocks_{i}",
+                )(xs, cs, ctx, refresh_self=r.get("spatial"),
+                  refresh_cross=r.get("cross"))
                 x = xs.reshape(B, F, N, D)
             else:
                 # temporal block: [B*N, F, D] (+ frame PE on first temporal block)
@@ -175,7 +185,9 @@ class LatteDiT(nn.Module):
                 if i == 1:
                     xt = xt + pos_t[None]
                 ct = jnp.repeat(c, N, axis=0)
-                xt = DiTBlock(cfg, policy=self.policy, name=f"blocks_{i}")(xt, ct)
+                xt = DiTBlock(cfg, policy=self.policy, pab=self.pab,
+                              name=f"blocks_{i}")(
+                    xt, ct, refresh_self=r.get("temporal"))
                 x = xt.reshape(B, N, F, D).transpose(0, 2, 1, 3)
 
         # Final adaLN + projection, unpatchify

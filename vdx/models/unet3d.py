@@ -94,9 +94,13 @@ class UNet3D(nn.Module):
     config: UNet3DConfig = UNet3DConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    # Pyramid Attention Broadcast (pipelines/base.py builds the schedule)
+    pab: bool = False
 
-    def _layer(self, x, temb, context, num_frames, channels, has_attn, name):
+    def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
+               refresh=None):
         cfg = self.config
+        r = refresh or {}
         x = ResnetBlock2D(channels, policy=self.policy, name=f"{name}_resnet")(x, temb)
         x = TemporalConv(policy=self.policy, name=f"{name}_tconv")(x, num_frames)
         if has_attn:
@@ -107,15 +111,19 @@ class UNet3D(nn.Module):
                 context_dim=cfg.cross_attention_dim,
                 policy=self.policy,
                 attn_impl=self.attn_impl,
+                pab=self.pab,
                 name=f"{name}_attn",
-            )(x, context)
+            )(x, context, refresh_self=r.get("spatial"),
+              refresh_cross=r.get("cross"))
             x = TemporalTransformer3D(
-                heads=heads, policy=self.policy, name=f"{name}_tattn"
-            )(x, num_frames)
+                heads=heads, policy=self.policy, pab=self.pab,
+                name=f"{name}_tattn"
+            )(x, num_frames, refresh=r.get("temporal"))
         return x
 
     @nn.compact
-    def __call__(self, sample, timestep, context, *, num_frames=None):
+    def __call__(self, sample, timestep, context, *, num_frames=None,
+                 pab_refresh=None):
         cfg = self.config
         B, F, H, W, Cin = sample.shape
         num_frames = num_frames or F
@@ -135,10 +143,12 @@ class UNet3D(nn.Module):
             dtype=self.policy.compute_dtype, param_dtype=self.policy.param_dtype,
             name="conv_in",
         )(x)
+        r = pab_refresh or {}
         heads0 = max(1, cfg.block_out_channels[0] // cfg.attention_head_dim)
         x = TemporalTransformer3D(
-            heads=heads0, policy=self.policy, name="transformer_in"
-        )(x, num_frames)
+            heads=heads0, policy=self.policy, pab=self.pab,
+            name="transformer_in"
+        )(x, num_frames, refresh=r.get("temporal"))
 
         residuals = [x]
         n = len(cfg.block_out_channels)
@@ -147,6 +157,7 @@ class UNet3D(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, ch,
                     cfg.down_block_has_attn[bi], name=f"down_{bi}_{li}",
+                    refresh=pab_refresh,
                 )
                 residuals.append(x)
             if bi < n - 1:
@@ -154,7 +165,8 @@ class UNet3D(nn.Module):
                 residuals.append(x)
 
         mid_ch = cfg.block_out_channels[-1]
-        x = self._layer(x, temb, context, num_frames, mid_ch, True, name="mid_0")
+        x = self._layer(x, temb, context, num_frames, mid_ch, True,
+                        name="mid_0", refresh=pab_refresh)
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)
         x = TemporalConv(policy=self.policy, name="mid_tconv_1")(x, num_frames)
 
@@ -165,6 +177,7 @@ class UNet3D(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, ch,
                     cfg.up_block_has_attn[bi], name=f"up_{bi}_{li}",
+                    refresh=pab_refresh,
                 )
             if bi < n - 1:
                 x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)
