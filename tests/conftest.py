@@ -66,7 +66,7 @@ QUICK_EXCLUDE = (  # slow outliers (>20 s each measured) within quick modules
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "quick: fast per-subsystem subset (~3 min); full suite is the gate",
+        "quick: fast per-subsystem subset (~8 min); full suite is the gate",
     )
 
 

@@ -113,9 +113,9 @@ def _min_pad_block(S: int, cap: int) -> int:
     S=9216 -> 3 blocks of 3072, zero padding, identical results.
     """
     Sp = max(128, ((S + 127) // 128) * 128)
-    cap = min(cap, Sp)
+    cap = max(128, (min(cap, Sp) // 128) * 128)  # honour "block <= cap"
     n = (Sp + cap - 1) // cap  # minimum block count at this cap
-    return ((Sp // n + 127) // 128) * 128
+    return min(cap, ((Sp // n + 127) // 128) * 128)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block_q", "block_k"))

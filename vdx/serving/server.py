@@ -30,6 +30,18 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 
+def _png_b64(frames) -> list:
+    """uint8 [F, H, W, 3] -> list of base64 PNG strings."""
+    from PIL import Image
+
+    encoded = []
+    for f in frames:
+        buf = io.BytesIO()
+        Image.fromarray(f).save(buf, format="PNG")
+        encoded.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+    return encoded
+
+
 class GenerationService:
     def __init__(self, pipe, defaults: Optional[dict] = None):
         self.pipe = pipe
@@ -63,15 +75,7 @@ class GenerationService:
             )
         dt = time.time() - t0
         frames = out.frames[0]
-
-        encoded = []
-        from PIL import Image
-
-        for f in frames:
-            buf = io.BytesIO()
-            Image.fromarray(f).save(buf, format="PNG")
-            encoded.append(base64.b64encode(buf.getvalue()).decode("ascii"))
-
+        encoded = _png_b64(frames)
         self.requests_served += 1
         self.total_seconds += dt
         return {
@@ -122,8 +126,13 @@ class Img2VidService(GenerationService):
 
         raw = base64.b64decode(request["image"])
         kwargs = {k: request.get(k, v) for k, v in self.defaults.items()}
+        # cast once so the resize geometry and the pipeline request agree
+        for k in ("width", "height", "num_frames", "num_inference_steps",
+                  "decode_chunk"):
+            if k in kwargs:
+                kwargs[k] = int(kwargs[k])
         img = Image.open(io.BytesIO(raw)).convert("RGB").resize(
-            (int(kwargs["width"]), int(kwargs["height"])), Image.BILINEAR
+            (kwargs["width"], kwargs["height"]), Image.BILINEAR
         )
         image = np.asarray(img, dtype=np.float32) / 255.0
         seed = int(request.get("seed", 0))
@@ -132,12 +141,7 @@ class Img2VidService(GenerationService):
             out = self.pipe(image, seed=seed, output_type="np", **kwargs)
         dt = time.time() - t0
         frames = out.frames[0]
-
-        encoded = []
-        for f in frames:
-            buf = io.BytesIO()
-            Image.fromarray(f).save(buf, format="PNG")
-            encoded.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        encoded = _png_b64(frames)
         self.requests_served += 1
         self.total_seconds += dt
         return {
@@ -300,6 +304,11 @@ class GenerationServer:
         self.service = service
         svc = service
         i2v = img2vid_service
+        if i2v is not None:
+            # ONE device lock across both services: XLA programs are
+            # single-flighted per chip, and per-request timings must not
+            # include another service's device time.
+            i2v._lock = svc._lock
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -315,7 +324,15 @@ class GenerationServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    self._reply(200, svc.health())
+                    h = svc.health()
+                    if i2v is not None:
+                        h["img2vid"] = {
+                            "requests_served": i2v.requests_served,
+                            "avg_seconds": round(
+                                i2v.total_seconds
+                                / max(i2v.requests_served, 1), 3),
+                        }
+                    self._reply(200, h)
                 else:
                     self._reply(404, {"error": "not found"})
 
