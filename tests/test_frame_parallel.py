@@ -32,7 +32,9 @@ class TestFrameSharded:
         mesh, cfg, local, params, sample, t, ctx = setup
         expected = local.apply(params, sample, t, ctx)
 
-        _, sharded_apply = make_frame_sharded_unet(cfg, mesh, policy=FP32_POLICY)
+        _, sharded_apply = make_frame_sharded_unet(
+            cfg, mesh, policy=FP32_POLICY, seq_impl="ring"
+        )
         got = jax.jit(sharded_apply)(params, sample, t, ctx)
 
         np.testing.assert_allclose(
@@ -62,7 +64,9 @@ class TestFrameSharded:
         params = fast_init(local, sample, t, emb, aids, seed=2)
         expected = local.apply(params, sample, t, emb, aids)
 
-        _, sharded_apply = make_frame_sharded_svd_unet(cfg, mesh, policy=FP32_POLICY)
+        _, sharded_apply = make_frame_sharded_svd_unet(
+            cfg, mesh, policy=FP32_POLICY, seq_impl="ring"
+        )
         got = jax.jit(sharded_apply)(params, sample, t, emb, aids)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected), atol=2e-4
@@ -121,6 +125,88 @@ class TestFrameSharded:
         assert out.sharding.spec == P(None, "frames")
 
 
+class TestUlysses:
+    """seq_impl="ulysses" — the all-to-all axis swap (SURVEY §5's Ulysses
+    option) must be exact vs local execution, like the ring."""
+
+    def test_unet_matches_local(self, setup):
+        mesh, cfg, local, params, sample, t, ctx = setup
+        expected = local.apply(params, sample, t, ctx)
+        _, sharded_apply = make_frame_sharded_unet(
+            cfg, mesh, policy=FP32_POLICY, seq_impl="ulysses"
+        )
+        got = jax.jit(sharded_apply)(params, sample, t, ctx)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-4
+        )
+
+    def test_svd_matches_local(self):
+        """Ulysses on the SVD denoiser: all-to-all temporal transformers
+        compose with halo'd temporal convs + pmean'd GN stats."""
+        from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
+        from vdx.parallel.frame_parallel import make_frame_sharded_svd_unet
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(1, 4, 1)
+        cfg = SVDUNetConfig.tiny()
+        local = UNetSpatioTemporal(cfg, policy=FP32_POLICY)
+        B, F, H, W = 1, 8, 16, 16
+        sample = jax.random.normal(
+            jax.random.PRNGKey(0), (B, F, H, W, cfg.in_channels)
+        )
+        t = jnp.asarray([0.5])
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 1, cfg.cross_attention_dim)
+        )
+        aids = jnp.asarray([[6.0, 127.0, 0.02]])
+        params = fast_init(local, sample, t, emb, aids, seed=2)
+        expected = local.apply(params, sample, t, emb, aids)
+        _, sharded_apply = make_frame_sharded_svd_unet(
+            cfg, mesh, policy=FP32_POLICY, seq_impl="ulysses"
+        )
+        got = jax.jit(sharded_apply)(params, sample, t, emb, aids)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-4
+        )
+
+    def test_svd_pipeline_ulysses_flocal_1(self):
+        """Pipeline surface with seq_impl="ulysses" at F_local=1 — the shape
+        that broke the ring fast path. Ulysses reshards to the full frame
+        axis so S=F_global locally; mid-block sites whose positions don't
+        divide the mesh axis statically fall back to the ring (mixed modes,
+        still exact)."""
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kw = dict(unet_config=SVDUNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+                  vision_config=CLIPVisionConfig.tiny(), policy=FP32_POLICY)
+        gen = dict(num_frames=4, height=64, width=64, num_inference_steps=3,
+                   seed=3, decode_chunk=1, output_type="np")
+        img = np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
+        exact = SVDImg2VidPipeline.with_random_params(seed=0, **kw)
+        a = exact(img, **gen).frames[0]
+        sharded = SVDImg2VidPipeline(frame_shards=4, seq_impl="ulysses", **kw)
+        sharded.params = exact.params
+        b = sharded(img, **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
+
+    def test_rejects_unknown_seq_impl(self):
+        from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
+
+        mesh = make_mesh(1, 2, 1)
+        with pytest.raises(ValueError, match="seq_impl"):
+            make_frame_sharded_denoiser(
+                UNetMotion, UNetMotionConfig.tiny(), mesh, seq_impl="ulises"
+            )
+
+
 class TestSingleFramePerShard:
     def test_svd_pipeline_flocal_1_exact(self):
         """REGRESSION: with num_frames == frame_shards every shard holds ONE
@@ -145,7 +231,7 @@ class TestSingleFramePerShard:
         img = np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
         exact = SVDImg2VidPipeline.with_random_params(seed=0, **kw)
         a = exact(img, **gen).frames[0]
-        sharded = SVDImg2VidPipeline(frame_shards=4, **kw)
+        sharded = SVDImg2VidPipeline(frame_shards=4, seq_impl="ring", **kw)
         sharded.params = exact.params
         b = sharded(img, **gen).frames[0]
         np.testing.assert_allclose(

@@ -224,6 +224,8 @@ def test_packed_blockdiag_attention_matches_unpacked():
             .astype(jnp.bfloat16) for _ in range(3))
         ref = _xla_attention_bf16probs(q, k, v, D ** -0.5)
         got = dot_product_attention(q, k, v, impl="xla_bf16p_packed")
+        # both paths emit bf16: allow one bf16 ULP (rtol 2^-7) — the packed
+        # einsums may round the final cast differently on some XLA builds
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32),
-            rtol=0, atol=2e-3)
+            rtol=2**-7, atol=2e-3)

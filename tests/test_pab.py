@@ -141,7 +141,8 @@ class TestSVDPAB:
                         cross_interval=1, warmup_steps=1, cooldown_steps=1)
         local = SVDImg2VidPipeline(pab=pab, **self._kw())
         local.params = svd_exact.params
-        sharded = SVDImg2VidPipeline(pab=pab, frame_shards=4, **self._kw())
+        sharded = SVDImg2VidPipeline(pab=pab, frame_shards=4,
+                                     seq_impl="ring", **self._kw())
         sharded.params = svd_exact.params
         a = local(image, **gen).frames[0]
         b = sharded(image, **gen).frames[0]
@@ -150,6 +151,31 @@ class TestSVDPAB:
         )
         # the schedule IS skipping work vs exact
         assert not np.array_equal(a, svd_exact(image, **gen).frames[0])
+
+    def test_temporal_only_composes_with_ulysses(self, svd_exact, image):
+        """Same composition through the Ulysses axis swap: the temporal
+        cache's LOCAL layout differs ([P/n, F_global, C] instead of
+        [P, F_local, C]) but the shard_map specs only need internal
+        consistency — the cache never leaves its device between steps."""
+        import jax
+
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        gen = {**self.GEN, "num_frames": 8, "decode_chunk": 2}
+        pab = PABConfig(spatial_interval=1, temporal_interval=3,
+                        cross_interval=1, warmup_steps=1, cooldown_steps=1)
+        local = SVDImg2VidPipeline(pab=pab, **self._kw())
+        local.params = svd_exact.params
+        sharded = SVDImg2VidPipeline(pab=pab, frame_shards=4,
+                                     seq_impl="ulysses", **self._kw())
+        sharded.params = svd_exact.params
+        a = local(image, **gen).frames[0]
+        b = sharded(image, **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
 
 
 class TestPABAllFamilies:

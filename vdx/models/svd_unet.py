@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
-from vdx.nn.temporal import TemporalBlock, _ring_axis
+from vdx.nn.temporal import TemporalBlock, _shard_axis
 from vdx.nn.transformer import BasicTransformerBlock
 from vdx.ops.halo import frame_halo_pad
 
@@ -103,7 +103,10 @@ class SpatioTemporalResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, temb, num_frames: int):
-        axis = _ring_axis(self.temporal_impl)
+        # halo'd temporal convs + cross-shard GN stats apply in BOTH
+        # frame-sharded modes (ring and ulysses) — only the temporal
+        # transformer's attention math differs between them.
+        axis = _shard_axis(self.temporal_impl)
         groups = 32 if self.out_channels % 32 == 0 else min(self.out_channels, 8)
         # spatial branch on [B*F, H, W, C]
         s = ResnetBlock2D(self.out_channels, policy=self.policy, name="spatial")(x, temb)

@@ -14,12 +14,27 @@ GroupNorm statistics span frames AND space jointly (torch GN over
 [B, C, F, H, W]); ops.group_norm reproduces that on the channels-last layout.
 
 Sequence parallelism (the long-clip north star, SURVEY.md §5): this module
-is the ONLY cross-frame op in the UNet. With ``temporal_impl="ring:frames"``
-it runs correctly inside ``shard_map`` with the frame axis sharded over the
-mesh's ``frames`` axis: attention becomes ring attention over ICI
-(parallel/ring_attention), GroupNorm statistics psum across the frame
-shards, and the sinusoidal frame PE uses global frame indices. Parameters
-are IDENTICAL to local mode — the same weights run sharded or not.
+is the ONLY cross-frame op in the UNet. Two frame-sharded execution modes,
+both exact vs local and both with parameter trees IDENTICAL to local mode —
+the same weights run sharded or not:
+
+  * ``temporal_impl="ring:frames"`` — ring attention: the local Q block
+    stays put while KV blocks rotate around the mesh axis
+    (parallel/ring_attention); GroupNorm statistics psum across the frame
+    shards; the sinusoidal frame PE uses global frame indices.  ICI traffic
+    per attention site: 2 * (n-1) * |KV_local| (every KV shard visits every
+    device).
+  * ``temporal_impl="ulysses:frames"`` — Ulysses/DeepSpeed-style axis swap
+    (the all-to-all design SURVEY.md §5 names): two ``lax.all_to_all``s
+    reshard [positions, F_local, C] -> [positions/n, F_global, C] around the
+    whole TemporalBlock, which then runs the PLAIN LOCAL math (local PE,
+    local fast-path attention, local softmax).  ICI traffic per site:
+    2 * (n-1)/n * |x_local| — at video shapes (F ~ 16-32, positions ~ 10^4)
+    this is ~4 * F_local/C-independent ~8x less than the ring, and the inner
+    attention gets the single-program short-seq fast path instead of a
+    per-hop online-softmax loop.  Needs positions % n == 0 at a site; a site
+    that doesn't divide (1x1 mid blocks at tiny resolutions) statically
+    falls back to the ring — at production resolutions every level divides.
 """
 
 from __future__ import annotations
@@ -39,6 +54,24 @@ from vdx.ops.groupnorm import group_norm
 
 def _ring_axis(temporal_impl: str):
     return temporal_impl.split(":", 1)[1] if temporal_impl.startswith("ring:") else None
+
+
+def _ulysses_axis(temporal_impl: str):
+    return (
+        temporal_impl.split(":", 1)[1]
+        if temporal_impl.startswith("ulysses:")
+        else None
+    )
+
+
+def _shard_axis(temporal_impl: str):
+    """Mesh axis the frame dim is sharded over, in EITHER sharded mode.
+
+    Ring and Ulysses differ only inside the temporal transformer blocks;
+    everything else that touches sharded frames (GroupNorm statistics, halo
+    temporal convs, global-frame positional indices) behaves identically and
+    keys off this."""
+    return _ring_axis(temporal_impl) or _ulysses_axis(temporal_impl)
 
 
 class FrameConv3(nn.Module):
@@ -99,8 +132,26 @@ class TemporalBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, refresh=None) -> jnp.ndarray:
+        impl = self.temporal_impl
+        u_axis = _ulysses_axis(impl)
+        if u_axis is not None and x.shape[0] % jax.lax.axis_size(u_axis) != 0:
+            # Positions not divisible by the mesh axis (e.g. a 1x1 mid block
+            # at tiny resolutions): this site falls back to the ring — a
+            # static, per-site decision; both modes are exact, so mixing is
+            # too. At production resolutions every level divides.
+            impl = f"ring:{u_axis}"
+            u_axis = None
+        if u_axis is not None:
+            # Ulysses axis swap: [P, F_local, C] -> [P/n, F_global, C]; the
+            # block body below then takes the plain LOCAL path (full frame
+            # axis on-device), and a second all_to_all restores the frame
+            # sharding on the way out.  Exactness vs local is tested at
+            # tests/test_frame_parallel.py.
+            x = jax.lax.all_to_all(x, u_axis, split_axis=0, concat_axis=1,
+                                   tiled=True)
+            impl = "local"
         F = x.shape[1]
-        axis = _ring_axis(self.temporal_impl)
+        axis = _ring_axis(impl)
         if axis is None:
             pe = sinusoidal_positional_encoding(F, self.dim).astype(x.dtype)
             attn_impl = "auto"
@@ -110,7 +161,7 @@ class TemporalBlock(nn.Module):
             idx = jax.lax.axis_index(axis)
             pe_global = sinusoidal_positional_encoding(F * n, self.dim).astype(x.dtype)
             pe = jax.lax.dynamic_slice_in_dim(pe_global, idx * F, F, axis=0)
-            attn_impl = self.temporal_impl
+            attn_impl = impl
 
         h = LayerNormF32(policy=self.policy, name="norm1")(x)
         h = h + pe[None]
@@ -128,6 +179,10 @@ class TemporalBlock(nn.Module):
 
         h = LayerNormF32(policy=self.policy, name="norm3")(x)
         x = x + FeedForward(self.dim, policy=self.policy, name="ff")(h)
+        if u_axis is not None:
+            # [P/n, F_global, C] -> [P, F_local, C]
+            x = jax.lax.all_to_all(x, u_axis, split_axis=1, concat_axis=0,
+                                   tiled=True)
         return x
 
 
@@ -150,7 +205,8 @@ class TemporalTransformer3D(nn.Module):
         F = num_frames
         B = BF // F
         residual = x
-        axis = _ring_axis(self.temporal_impl)
+        # GN statistics span the GLOBAL frame axis in both sharded modes.
+        axis = _shard_axis(self.temporal_impl)
 
         scale = self.param("norm_scale", nn.initializers.ones, (C,), self.policy.param_dtype)
         bias = self.param("norm_bias", nn.initializers.zeros, (C,), self.policy.param_dtype)

@@ -2,10 +2,11 @@
 
 Builds a shard_map-wrapped UNetMotion apply where the frame axis lives
 sharded over the mesh's ``frames`` axis. Spatial/cross attention and convs
-are frame-local (zero communication); the motion modules communicate via
-ring attention + psum'd GroupNorm stats (nn/temporal.py ring mode). The
-resulting function takes GLOBAL arrays and runs each device on its frame
-shard — memory per chip scales as F/n_frames_shards, the long-clip
+are frame-local (zero communication); ONLY the temporal blocks communicate —
+via Ulysses all_to_all axis swaps (default) or ring attention, plus psum'd
+GroupNorm stats and halo'd temporal convs in either mode (nn/temporal.py).
+The resulting function takes GLOBAL arrays and runs each device on its
+frame shard — memory per chip scales as F/n_frames_shards, the long-clip
 north star (SURVEY.md §5).
 
 The ring model shares its parameter tree with the local model: the same
@@ -33,6 +34,7 @@ def make_frame_sharded_denoiser(
     attn_impl: str = "auto",
     n_conditioning: int = 1,
     pab: bool = False,
+    seq_impl: str = "ulysses",
 ):
     """Generic frame-sharded denoiser (any model with a ``temporal_impl`` knob).
 
@@ -43,9 +45,25 @@ def make_frame_sharded_denoiser(
     context; 2 for SVD's image_embeds + added_time_ids). ``pab`` builds the
     model with the attention-broadcast cache enabled (the pipeline then
     drives it through its own shard_map wrapper that threads the cache).
+
+    ``seq_impl`` picks how the temporal transformers communicate:
+      * ``"ulysses"`` (default) — two all_to_alls reshard positions<->frames
+                        around each temporal block; sites whose positions
+                        don't divide the mesh axis statically fall back to
+                        the ring.
+      * ``"ring"``    — per-attention KV rotation via ppermute.
+    Both are exact vs local execution (tests/test_frame_parallel.py).
+    Ulysses is the default because video temporal attention is short-seq /
+    huge-batch, where the ring is badly comm-bound: at the SVD north-star
+    shape (25f @576x1024, 8 chips) the ring moves 11.6 GB/device/forward
+    (an 85% zero-overlap comm tax that alone would break the <10 s target)
+    vs ulysses' 0.73 GB (10.6% tax) — scripts/comm_analysis.py, PERF.md
+    round-3 "frame-sharded communication" section.
     """
+    if seq_impl not in ("ring", "ulysses"):
+        raise ValueError(f"unknown seq_impl {seq_impl!r}")
     kwargs = {"config": config, "attn_impl": attn_impl,
-              "temporal_impl": f"ring:{axis}"}
+              "temporal_impl": f"{seq_impl}:{axis}"}
     if policy is not None:
         kwargs["policy"] = policy
     if pab:
@@ -72,6 +90,7 @@ def make_frame_sharded_unet(
     policy=None,
     axis: str = "frames",
     attn_impl: str = "auto",
+    seq_impl: str = "ulysses",
 ):
     """Returns (ring_model, sharded_apply).
 
@@ -79,7 +98,8 @@ def make_frame_sharded_unet(
     F sharded over ``axis``; params and conditioning replicated.
     """
     return make_frame_sharded_denoiser(
-        UNetMotion, config, mesh, policy=policy, axis=axis, attn_impl=attn_impl
+        UNetMotion, config, mesh, policy=policy, axis=axis,
+        attn_impl=attn_impl, seq_impl=seq_impl,
     )
 
 
@@ -90,17 +110,19 @@ def make_frame_sharded_svd_unet(
     policy=None,
     axis: str = "frames",
     attn_impl: str = "auto",
+    seq_impl: str = "ulysses",
 ):
     """Frame-sharded UNetSpatioTemporal (the SVD north-star denoiser).
 
     Returns (ring_model, sharded_apply) where
     sharded_apply(params, sample [B, F, H, W, 8], t, image_embeds,
     added_time_ids) -> eps with F sharded over ``axis``.  Communication:
-    ring attention in the temporal transformer blocks, 1-frame halo
-    exchange in the 3x1x1 temporal resblock convs, pmean'd GroupNorm stats
-    (exact vs local execution — tests/test_frame_parallel.py).
+    ring attention (or Ulysses all_to_alls, ``seq_impl``) in the temporal
+    transformer blocks, 1-frame halo exchange in the 3x1x1 temporal
+    resblock convs, pmean'd GroupNorm stats (exact vs local execution —
+    tests/test_frame_parallel.py).
     """
     return make_frame_sharded_denoiser(
         UNetSpatioTemporal, config, mesh, policy=policy, axis=axis,
-        attn_impl=attn_impl, n_conditioning=2,
+        attn_impl=attn_impl, n_conditioning=2, seq_impl=seq_impl,
     )

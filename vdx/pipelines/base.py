@@ -107,6 +107,7 @@ class VideoDiffusionPipeline:
         attn_impl: str = "auto",
         pab: "PABConfig | None" = None,
         frame_shards: int = 1,
+        seq_impl: str = "ulysses",
         mesh=None,
         variable_steps: int = 0,
         progress: Optional[Callable[[int, int], None]] = None,
@@ -123,11 +124,13 @@ class VideoDiffusionPipeline:
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
             attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
-            mesh=mesh, variable_steps=variable_steps, progress=progress,
+            seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
+            progress=progress,
         )
 
     def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
-                   pab, frame_shards, mesh, variable_steps, progress):
+                   pab, frame_shards, mesh, variable_steps, progress,
+                   seq_impl="ulysses"):
         """Shared compiled-machinery state — called by every family's
         ``__init__`` after it builds its components."""
         self.policy = policy
@@ -145,7 +148,8 @@ class VideoDiffusionPipeline:
         self.progress_callback = progress
         # Frame-axis sequence parallelism on the pipeline surface: the
         # denoise scan and VAE decode run frame-sharded over an n-device
-        # mesh (ring temporal attention; spatial/cross ops shard-local).
+        # mesh (Ulysses all_to_all temporal blocks by default, or ring
+        # attention via seq_impl="ring"; spatial/cross ops shard-local).
         # Same params as local execution — the long-clip north star
         # (SURVEY.md §5; capability analogue of the reference's memory
         # scaling knobs, 01:85, 05:143-144).
@@ -167,6 +171,7 @@ class VideoDiffusionPipeline:
                 self.denoiser_cls, denoiser_config, self.mesh,
                 policy=policy, attn_impl=attn_impl,
                 n_conditioning=self.n_denoiser_cond, pab=pab is not None,
+                seq_impl=seq_impl,
             )
 
     # ------------------------------------------------------------------

@@ -18,9 +18,11 @@ Built on the shared ``VideoDiffusionPipeline`` compiled core, so the
 north-star pipeline inherits the framework's best machinery:
   * single-program generate (conditioning towers + noise + denoise scan +
     temporal decode in ONE dispatch)
-  * ``frame_shards=n`` — ring temporal attention + halo'd temporal convs +
-    shard-local chunked temporal decode (exact vs unsharded;
-    tests/test_frame_parallel.py)
+  * ``frame_shards=n`` — frame-axis sequence parallelism: Ulysses all_to_all
+    temporal blocks (default; ``seq_impl="ring"`` for KV-rotation ring
+    attention) + halo'd temporal convs + shard-local chunked temporal decode
+    (exact vs unsharded; tests/test_frame_parallel.py; comm analysis
+    PERF.md)
   * ``variable_steps=N`` — one compile for every EDM step count
   * PAB turbo mode (EDM's step is stateless, so broadcast applies)
 """
@@ -59,6 +61,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         scheduler: str = "edm",
         pab=None,
         frame_shards: int = 1,
+        seq_impl: str = "ulysses",
         mesh=None,
         variable_steps: int = 0,
         progress=None,
@@ -74,7 +77,8 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
             attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
-            mesh=mesh, variable_steps=variable_steps, progress=progress,
+            seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
+            progress=progress,
         )
 
     # ------------------------------------------------------------------
