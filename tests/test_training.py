@@ -50,6 +50,84 @@ class TestTraining:
         assert not zero_leaves, zero_leaves[:10]
 
 
+class TestProductionLevers:
+    def test_remat_accum_ema_step_matches_plain(self):
+        """The production step (remat + grad_accum + EMA) is numerically the
+        SAME optimisation as the plain step: rematerialisation recomputes
+        identical activations, and the noise draw happens once per step for
+        the full batch, so k micro-batches average to the full-batch
+        gradient exactly. EMA = decay*init + (1-decay)*new_params.
+
+        Uses SGD so the parameter comparison is LINEAR in the gradient —
+        adamw's g/sqrt(v) normalisation amplifies one-ULP gradient
+        reassociation differences into visible parameter noise."""
+        from vdx.parallel.train import init_train_state
+
+        cfg = UNetMotionConfig.tiny()
+        model = UNetMotion(cfg, policy=FP32_POLICY)
+        B, F, H, W = 2, 2, 16, 16
+        latents = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4)) * 0.5
+        ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim))
+        params = fast_init(model, latents, jnp.zeros((B,), jnp.int32), ctx, seed=2)
+        batch = {"latents": latents, "context": ctx}
+        rng = jax.random.PRNGKey(42)
+
+        optimizer = optax.sgd(1e-2)
+        plain_state = TrainState(params, optimizer.init(params),
+                                 jnp.zeros((), jnp.int32))
+        plain = jax.jit(make_train_step(model, optimizer))
+        sa, ma = plain(plain_state, batch, rng)
+
+        prod_state, _ = init_train_state(model, params, optimizer=optimizer,
+                                         ema=True)
+        prod = jax.jit(make_train_step(
+            model, optimizer, remat=True, grad_accum=2, ema_decay=0.9
+        ))
+        sb, mb = prod(prod_state, batch, rng)
+
+        np.testing.assert_allclose(
+            float(mb["loss"]), float(ma["loss"]), rtol=1e-5
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-6
+            ),
+            sa.params, sb.params,
+        )
+        # EMA: 0.9 * init + 0.1 * updated
+        jax.tree.map(
+            lambda e, p0, p1: np.testing.assert_allclose(
+                np.asarray(e), 0.9 * np.asarray(p0) + 0.1 * np.asarray(p1),
+                atol=1e-6,
+            ),
+            sb.ema_params, params, sb.params,
+        )
+        assert int(sb.step) == 1
+
+    def test_make_optimizer_warmup_and_clipping(self):
+        """Recipe sanity on a toy problem (no model compile): warmup step 0
+        has ~zero LR; the clip stage bounds the pre-adamw global norm."""
+        from vdx.parallel.train import make_optimizer
+
+        opt = make_optimizer(1e-2, warmup_steps=5, total_steps=20,
+                             clip_norm=1.0)
+        p = {"w": jnp.ones((4,)) * 2.0}
+        st = opt.init(p)
+        huge = {"w": jnp.ones((4,)) * 1e6}
+        upd, st = opt.update(huge, st, p)
+        # step 0 of the warmup: LR == 0 -> zero update regardless of grads
+        assert float(jnp.abs(upd["w"]).max()) == 0.0
+        upd, st = opt.update(huge, st, p)
+        # step 1: LR = peak/5; adamw normalises, update magnitude ~ LR
+        assert 0 < float(jnp.abs(upd["w"]).max()) < 1e-2
+
+        # clipping alone: pre-adamw grads above the norm bound get scaled
+        clip = optax.clip_by_global_norm(1.0)
+        cst = clip.init(p)
+        cupd, _ = clip.update(huge, cst, p)
+        assert float(optax.global_norm(cupd)) <= 1.0 + 1e-5
+
+
 class TestShardedBatchedGrid:
     def test_batched_runner_with_mesh(self, tmp_path):
         if len(jax.devices()) < 2:
