@@ -121,6 +121,13 @@ def main() -> None:
     which = sys.argv[1:] or list(FAMILIES)
     if len(which) == 1:
         # child mode: run one family in-process
+        import jax
+        import numpy as np
+
+        t0 = time.time()
+        np.asarray(jax.jit(lambda a: a * 2)(
+            jax.device_put(np.ones((8, 8), np.float32))))
+        print(f"tunnel warmup {time.time() - t0:.1f} s", flush=True)
         {"modelscope": run_modelscope, "latte": run_latte,
          "cogvideox": run_cogvideox}[which[0]]()
         return

@@ -207,6 +207,93 @@ class TestUlysses:
             )
 
 
+class TestModelScopeAndLatteSharding:
+    """Frame sharding on the remaining shardable families (BASELINE
+    configs[0] ModelScope UNet3D, configs[4] Latte DiT — the latter names
+    "frame-parallel sharding over ICI" explicitly). Both seq_impls exact;
+    UNet3D adds halo'd TemporalConv stacks + cross-shard GN stats, Latte
+    adds global-index frame PE + ring/ulysses on the odd (temporal) DiT
+    blocks only."""
+
+    @pytest.mark.parametrize("seq_impl", ["ulysses", "ring"])
+    def test_unet3d_matches_local(self, seq_impl):
+        from vdx.models.unet3d import UNet3D, UNet3DConfig
+        from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(1, 4, 1)
+        cfg = UNet3DConfig.tiny()
+        local = UNet3D(cfg, policy=FP32_POLICY)
+        B, F, H, W = 1, 8, 16, 16
+        sample = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4))
+        t = jnp.asarray([500])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim)
+        )
+        params = fast_init(local, sample, t, ctx, seed=2)
+        expected = local.apply(params, sample, t, ctx)
+        _, sharded = make_frame_sharded_denoiser(
+            UNet3D, cfg, mesh, policy=FP32_POLICY, seq_impl=seq_impl
+        )
+        got = jax.jit(sharded)(params, sample, t, ctx)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-4
+        )
+
+    @pytest.mark.parametrize("seq_impl", ["ulysses", "ring"])
+    def test_latte_matches_local(self, seq_impl):
+        from vdx.models.dit import LatteConfig, LatteDiT
+        from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        mesh = make_mesh(1, 4, 1)
+        cfg = LatteConfig.tiny()
+        local = LatteDiT(cfg, policy=FP32_POLICY)
+        B, F, H, W = 1, 8, 16, 16
+        sample = jax.random.normal(jax.random.PRNGKey(3), (B, F, H, W, 4))
+        t = jnp.asarray([500])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(4), (B, 7, cfg.cross_attention_dim)
+        )
+        params = fast_init(local, sample, t, ctx, seed=5)
+        expected = local.apply(params, sample, t, ctx)
+        _, sharded = make_frame_sharded_denoiser(
+            LatteDiT, cfg, mesh, policy=FP32_POLICY, seq_impl=seq_impl
+        )
+        got = jax.jit(sharded)(params, sample, t, ctx)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expected), atol=2e-4
+        )
+
+    def test_latte_pipeline_surface(self):
+        """LattePipeline(frame_shards=4) == the plain pipeline end to end."""
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.dit import LatteConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import LattePipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kwargs = dict(
+            seed=0,
+            unet_config=LatteConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=8, height=64, width=64, num_inference_steps=3,
+                   seed=7, output_type="np")
+        local = LattePipeline.with_random_params(**kwargs)
+        a = local("portrait", **gen).frames[0]
+        sharded = LattePipeline.with_random_params(frame_shards=4, **kwargs)
+        b = sharded("portrait", **gen).frames[0]
+        np.testing.assert_allclose(
+            b.astype(np.int32), a.astype(np.int32), atol=1
+        )
+
+
 class TestSingleFramePerShard:
     def test_svd_pipeline_flocal_1_exact(self):
         """REGRESSION: with num_frames == frame_shards every shard holds ONE

@@ -58,3 +58,38 @@ def test_2phase_matches_xla(shape, groups):
         np.asarray(got), np.asarray(group_norm_silu(x, groups, scale, bias)),
         atol=1e-5,
     )
+
+
+def test_pick_chunk_mosaic_sublane_constraint():
+    """2-phase S-chunks must be 8-divisible divisors of S (Mosaic block
+    tiling) — caught live at CogVideoX's causal-VAE GN (S=13*60*90=70200,
+    C=512): the unconstrained pick was 975, which fails TPU lowering."""
+    from vdx.kernels.groupnorm import _pick_chunk, pallas_gn_viable
+
+    assert _pick_chunk(70200, 1024) == 975          # the hazard, documented
+    assert _pick_chunk(70200, 1024, multiple=8) == 936
+    # S with a single factor of 2: no 8-divisible divisor exists at all
+    assert _pick_chunk(5850, 1024, multiple=8) == 0
+    assert pallas_gn_viable((1, 13, 60, 90, 512))   # 2phase, chunk 936
+    assert not pallas_gn_viable((1, 5850, 512))     # -> XLA fallback
+    assert pallas_gn_viable((2, 64, 320))           # single-program path
+
+
+def test_2phase_odd_factor_chunk_matches_xla():
+    """A non-power-of-two (but 8-divisible) chunk: S=3744=2^5*117 picks
+    chunk 1872 -> 2 grid steps."""
+    from vdx.kernels.groupnorm import _pick_chunk, fused_group_norm_2phase
+
+    assert _pick_chunk(3744, 2048, multiple=8) == 1872
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 3744, 256)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = fused_group_norm_2phase(
+            x, scale, bias, num_groups=32, with_silu=True
+        )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(group_norm_silu(x, 32, scale, bias)),
+        atol=1e-5,
+    )

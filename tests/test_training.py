@@ -104,6 +104,40 @@ class TestProductionLevers:
         )
         assert int(sb.step) == 1
 
+    def test_grad_accum_keeps_param_dtype(self):
+        """bf16 params + grad_accum: the fp32-accumulated grads must come
+        back in param dtype, or adamw's mu/nu silently upcast after step 1
+        and the jitted step recompiles (trace-only check via eval_shape —
+        no compile)."""
+        import jax.numpy as jnp
+
+        from vdx.core.dtypes import Policy
+
+        policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+        cfg = UNetMotionConfig.tiny()
+        model = UNetMotion(cfg, policy=policy)
+        B, F, H, W = 2, 2, 16, 16
+        latents = (jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4))
+                   .astype(jnp.bfloat16))
+        ctx = (jax.random.normal(jax.random.PRNGKey(1),
+                                 (B, 7, cfg.cross_attention_dim))
+               .astype(jnp.bfloat16))
+        params = fast_init(model, latents, jnp.zeros((B,), jnp.int32), ctx,
+                           seed=2)
+        optimizer = optax.adamw(1e-4)
+        state = TrainState(params, optimizer.init(params),
+                           jnp.zeros((), jnp.int32))
+        step = make_train_step(model, optimizer, grad_accum=2)
+        out_state, _ = jax.eval_shape(
+            step, state, {"latents": latents, "context": ctx},
+            jax.random.PRNGKey(3),
+        )
+        jax.tree.map(
+            lambda before, after: None if before.dtype == after.dtype
+            else pytest.fail(f"{before.dtype} -> {after.dtype}"),
+            state.opt_state, out_state.opt_state,
+        )
+
     def test_make_optimizer_warmup_and_clipping(self):
         """Recipe sanity on a toy problem (no model compile): warmup step 0
         has ~zero LR; the clip stage bounds the pre-adamw global norm."""

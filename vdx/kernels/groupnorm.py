@@ -35,10 +35,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 
-def _pick_chunk(S: int, target: int = 512) -> int:
-    """Largest divisor of S that is <= target (S chunks must tile exactly)."""
-    best = 1
-    for c in range(1, min(S, target) + 1):
+def _pick_chunk(S: int, target: int = 512, multiple: int = 1) -> int:
+    """Largest divisor of S that is <= target and a multiple of ``multiple``
+    (S chunks must tile exactly). Returns 0 when none exists.
+
+    ``multiple=8``: Mosaic requires grid block dims divisible by the 8-row
+    sublane tile unless the block spans the whole axis — the 2-phase
+    kernel's S-chunks hit this (caught live at CogVideoX's causal-VAE shape
+    S=70200, whose best <=1024 divisor is 975)."""
+    best = 0
+    for c in range(multiple, min(S, target) + 1, multiple):
         if S % c == 0:
             best = c
     return best
@@ -200,7 +206,11 @@ def fused_group_norm_2phase(
     G = num_groups
     assert C % G == 0
     # block bytes (in+out, double-buffered) ~ chunk*C*8 B: keep chunk*C <= 2^19
-    chunk = _pick_chunk(S, target=max(8, 2**19 // C))
+    chunk = _pick_chunk(S, target=max(8, 2**19 // C), multiple=8)
+    assert chunk, (
+        f"S={S} has no 8-divisible chunk <= {max(8, 2**19 // C)}; "
+        "dispatch should have routed to XLA (pallas_gn_viable)"
+    )
     n_chunks = S // chunk
     onehot = _onehot(C, G)
 
@@ -238,6 +248,20 @@ def fused_group_norm_2phase(
 # VMEM budget with room for the fp32 chunk intermediates: S*C elems * 2 B
 # * 2 bufs * 2 (in+out) + ~3 MB temps. 1.375M elems -> ~14 MB.
 _SINGLE_PROGRAM_MAX_ELEMS = 1_441_792  # 1.375 * 2^20
+
+
+def pallas_gn_viable(shape) -> bool:
+    """True when the Pallas dispatch can lower this channels-last shape.
+
+    Large blocks route to the 2-phase grid kernel, whose S-chunks must be
+    8-divisible divisors of S (Mosaic sublane tiling); shapes like
+    CogVideoX's causal-VAE GN (S = 13*60*90 = 70200 at C=512 — largest
+    valid divisor is 8, a degenerate 8775-step grid) stay on XLA."""
+    C = shape[-1]
+    S = int(np.prod(shape[1:-1]))
+    if S * C <= _SINGLE_PROGRAM_MAX_ELEMS:
+        return True
+    return _pick_chunk(S, target=max(8, 2**19 // C), multiple=8) >= 64
 
 
 def group_norm_silu_pallas(x: jnp.ndarray, num_groups: int, scale, bias,

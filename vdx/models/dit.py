@@ -19,6 +19,7 @@ import dataclasses
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
@@ -71,12 +72,16 @@ def _modulate(x, shift, scale):
 
 
 class DiTBlock(nn.Module):
-    """adaLN-Zero transformer block; optional cross-attention to text."""
+    """adaLN-Zero transformer block; optional cross-attention to text.
+
+    ``attn_impl`` applies to the SELF-attention (ring attention under frame
+    sharding); cross-attention is always sequence-local."""
 
     config: LatteConfig
     use_cross_attn: bool = False
     policy: Policy = DEFAULT_POLICY
     pab: bool = False
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, c, context: Optional[jnp.ndarray] = None,
@@ -95,7 +100,8 @@ class DiTBlock(nn.Module):
         h = ln("norm1")(x).astype(x.dtype)
         h = _modulate(h, shift_a, scale_a)
         h = Attention(D, cfg.num_heads, head_dim, policy=self.policy,
-                      pab=self.pab, name="attn")(h, refresh=refresh_self)
+                      pab=self.pab, attn_impl=self.attn_impl,
+                      name="attn")(h, refresh=refresh_self)
         x = x + gate_a * h
 
         if self.use_cross_attn and context is not None:
@@ -118,6 +124,12 @@ class LatteDiT(nn.Module):
     config: LatteConfig = LatteConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"  # threaded through ops.attention's dispatch
+    # "local" or "ring:<axis>"/"ulysses:<axis>" — frame-sharded execution
+    # (BASELINE configs[4]: "frame-parallel sharding over ICI"). Spatial
+    # blocks are frame-local; only the odd (temporal) blocks communicate:
+    # Ulysses all_to_all axis swap when B*N divides the mesh axis, ring
+    # attention otherwise; the frame PE uses global indices.
+    temporal_impl: str = "local"
     # Pyramid Attention Broadcast — the PAB paper's native architecture
     # family is exactly this (factorised space/time DiT)
     pab: bool = False
@@ -180,14 +192,47 @@ class LatteDiT(nn.Module):
                   refresh_cross=r.get("cross"))
                 x = xs.reshape(B, F, N, D)
             else:
-                # temporal block: [B*N, F, D] (+ frame PE on first temporal block)
+                # temporal block: [B*N, F, D] (+ frame PE on first temporal
+                # block). F is the LOCAL shard under frame sharding; the PE
+                # uses global frame indices, and the block communicates via
+                # Ulysses all_to_all (or ring attention where B*N doesn't
+                # divide the mesh axis) — nn/temporal.py module doc.
+                from vdx.nn.temporal import _shard_axis, _ulysses_axis
+
+                s_axis = _shard_axis(self.temporal_impl)
                 xt = x.transpose(0, 2, 1, 3).reshape(B * N, F, D)
                 if i == 1:
-                    xt = xt + pos_t[None]
+                    if s_axis is None:
+                        xt = xt + pos_t[None]
+                    else:
+                        n_sh = jax.lax.axis_size(s_axis)
+                        idx = jax.lax.axis_index(s_axis)
+                        pe_g = sinusoidal_positional_encoding(
+                            F * n_sh, D).astype(x.dtype)
+                        xt = xt + jax.lax.dynamic_slice_in_dim(
+                            pe_g, idx * F, F, axis=0)[None]
                 ct = jnp.repeat(c, N, axis=0)
+                attn_impl = "auto"
+                u_axis = _ulysses_axis(self.temporal_impl)
+                if u_axis is not None and (
+                    (B * N) % jax.lax.axis_size(u_axis) != 0
+                ):
+                    u_axis = None  # static per-site fallback to the ring
+                if u_axis is not None:
+                    n_sh = jax.lax.axis_size(u_axis)
+                    idx = jax.lax.axis_index(u_axis)
+                    xt = jax.lax.all_to_all(xt, u_axis, split_axis=0,
+                                            concat_axis=1, tiled=True)
+                    ct = jax.lax.dynamic_slice_in_dim(
+                        ct, idx * (B * N // n_sh), B * N // n_sh, axis=0)
+                elif s_axis is not None:
+                    attn_impl = f"ring:{s_axis}"
                 xt = DiTBlock(cfg, policy=self.policy, pab=self.pab,
-                              name=f"blocks_{i}")(
+                              attn_impl=attn_impl, name=f"blocks_{i}")(
                     xt, ct, refresh_self=r.get("temporal"))
+                if u_axis is not None:
+                    xt = jax.lax.all_to_all(xt, u_axis, split_axis=1,
+                                            concat_axis=0, tiled=True)
                 x = xt.reshape(B, N, F, D).transpose(0, 2, 1, 3)
 
         # Final adaLN + projection, unpatchify

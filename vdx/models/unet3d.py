@@ -62,13 +62,21 @@ class TemporalConv(nn.Module):
 
     Operates on [B*F, H, W, C] with static num_frames; convs mix only the
     frame axis (kernel (3,1,1)), so it is a cross-frame op like the
-    temporal attention (relevant for frame sharding).
+    temporal attention. Under frame sharding (``temporal_impl`` "ring:"/
+    "ulysses:") the convs halo-exchange one edge frame over ICI
+    (ops/halo.py) and the GN statistics pmean across the shards — exact vs
+    local execution, parameter tree unchanged.
     """
 
     policy: Policy = DEFAULT_POLICY
+    temporal_impl: str = "local"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
+        from vdx.nn.temporal import _shard_axis
+        from vdx.ops.halo import frame_halo_pad
+
+        axis = _shard_axis(self.temporal_impl)
         BF, H, W, C = x.shape
         B = BF // num_frames
         residual = x
@@ -76,12 +84,18 @@ class TemporalConv(nn.Module):
         for i in range(4):
             h = GroupNormModule(
                 32 if C % 32 == 0 else min(C, 8),
-                1e-5, self.policy, with_silu=True, name=f"norm{i}",
+                1e-5, self.policy, with_silu=True, stats_axis=axis,
+                name=f"norm{i}",
             )(h)
+            if axis is None:
+                pad_f = (1, 1)
+            else:
+                h = frame_halo_pad(h, axis, halo=1, frame_axis=1)
+                pad_f = (0, 0)
             h = nn.Conv(
                 C,
                 (3, 1, 1),
-                padding=[(1, 1), (0, 0), (0, 0)],
+                padding=[pad_f, (0, 0), (0, 0)],
                 dtype=self.policy.compute_dtype,
                 param_dtype=self.policy.param_dtype,
                 kernel_init=nn.initializers.zeros if i == 3 else nn.initializers.lecun_normal(),
@@ -94,6 +108,10 @@ class UNet3D(nn.Module):
     config: UNet3DConfig = UNet3DConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    # "local" or "ring:<axis>"/"ulysses:<axis>" — frame-sharded execution
+    # (parallel/frame_parallel); threads to the two cross-frame ops
+    # (TemporalTransformer3D, TemporalConv)
+    temporal_impl: str = "local"
     # Pyramid Attention Broadcast (pipelines/base.py builds the schedule)
     pab: bool = False
 
@@ -102,7 +120,10 @@ class UNet3D(nn.Module):
         cfg = self.config
         r = refresh or {}
         x = ResnetBlock2D(channels, policy=self.policy, name=f"{name}_resnet")(x, temb)
-        x = TemporalConv(policy=self.policy, name=f"{name}_tconv")(x, num_frames)
+        x = TemporalConv(
+            policy=self.policy, temporal_impl=self.temporal_impl,
+            name=f"{name}_tconv",
+        )(x, num_frames)
         if has_attn:
             heads = max(1, channels // cfg.attention_head_dim)
             x = SpatialTransformer(
@@ -117,7 +138,7 @@ class UNet3D(nn.Module):
               refresh_cross=r.get("cross"))
             x = TemporalTransformer3D(
                 heads=heads, policy=self.policy, pab=self.pab,
-                name=f"{name}_tattn"
+                temporal_impl=self.temporal_impl, name=f"{name}_tattn"
             )(x, num_frames, refresh=r.get("temporal"))
         return x
 
@@ -147,7 +168,7 @@ class UNet3D(nn.Module):
         heads0 = max(1, cfg.block_out_channels[0] // cfg.attention_head_dim)
         x = TemporalTransformer3D(
             heads=heads0, policy=self.policy, pab=self.pab,
-            name="transformer_in"
+            temporal_impl=self.temporal_impl, name="transformer_in"
         )(x, num_frames, refresh=r.get("temporal"))
 
         residuals = [x]
@@ -168,7 +189,10 @@ class UNet3D(nn.Module):
         x = self._layer(x, temb, context, num_frames, mid_ch, True,
                         name="mid_0", refresh=pab_refresh)
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)
-        x = TemporalConv(policy=self.policy, name="mid_tconv_1")(x, num_frames)
+        x = TemporalConv(
+            policy=self.policy, temporal_impl=self.temporal_impl,
+            name="mid_tconv_1",
+        )(x, num_frames)
 
         for bi, ch in enumerate(reversed(cfg.block_out_channels)):
             for li in range(cfg.layers_per_block + 1):

@@ -110,7 +110,10 @@ def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu):
         and x.shape[-1] % num_groups == 0
         and _pallas_gn_available()
     ):
-        return _gn_pallas(x, scale, bias, num_groups, eps, with_silu)
+        from vdx.kernels.groupnorm import pallas_gn_viable
+
+        if pallas_gn_viable(x.shape):
+            return _gn_pallas(x, scale, bias, num_groups, eps, with_silu)
     ref = _group_norm_silu_xla if with_silu else _group_norm_xla
     return ref(x, num_groups, scale, bias, eps, stats_axis_name)
 

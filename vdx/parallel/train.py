@@ -91,7 +91,7 @@ def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(
         apply = jax.checkpoint(apply)
 
     def draw(rng, latents):
-        """(t, noise, noisy) for the FULL batch — drawn once per step so
+        """(noisy, t, noise) for the FULL batch — drawn once per step so
         grad_accum changes memory, never the realised sample: the
         accumulated gradient equals the full-batch gradient exactly
         (tests/test_training.py pins this)."""
@@ -133,7 +133,12 @@ def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(
             (split(noisy), split(t), split(noise), split(context)),
         )
         k = jnp.float32(grad_accum)
-        return loss_sum / k, jax.tree.map(lambda g: g / k, grads_sum)
+        # accumulate fp32, hand back param-dtype grads — same dtypes as the
+        # grad_accum=1 path, so optimizer state never silently upcasts (and
+        # the jitted step doesn't recompile between step 1 and step 2)
+        return loss_sum / k, jax.tree.map(
+            lambda g, p: (g / k).astype(p.dtype), grads_sum, params
+        )
 
     def train_step(state: TrainState, batch, rng):
         noisy, t, noise = draw(rng, batch["latents"])
