@@ -112,7 +112,9 @@ def run_cogvideox():
         dict(prompt="a sailboat gliding across a calm lake at dawn",
              num_frames=49, height=480, width=720,
              num_inference_steps=50, guidance_scale=6.0,
-             output_type="np"),
+             # untiled causal decode peaks at 18.4 GB > HBM at this shape
+             # (PERF.md); 40-latent tiles keep it ~2.7 GB
+             decode_spatial_tile=40, output_type="np"),
         49, "cogvideox-2b 49f@480x720 50 steps",
     )
 

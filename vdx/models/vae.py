@@ -320,9 +320,14 @@ def decode_spatial_tiled(
     lax.map -> peak memory is ONE tile), and blend the overlaps with
     linear ramps (the diffusers enable_vae_tiling recipe, reshaped for XLA:
     static window grid, gather + weighted scatter-add).
+
+    ``decode_fn`` may CHANGE the leading dim (e.g. the CogVideoX causal
+    decoder folds [B*f_lat, t, t, C] -> [B*F_out, T, T, 3]); the output
+    canvas takes its leading dim from the decoded tiles.
     """
     B, h, w, C = latents.shape
     tile = min(tile, h, w)
+    overlap = min(overlap, tile - 1)  # tile spanning the plane: one window
     stride = tile - overlap
     assert stride > 0
 
@@ -342,7 +347,8 @@ def decode_spatial_tiled(
         )
         return decode_fn(z)  # [B, tile*u, tile*u, 3]
 
-    tiles = jax.lax.map(one, idx)  # [N, B, T, T, 3]
+    tiles = jax.lax.map(one, idx)  # [N, B_out, T, T, 3]
+    B_out = tiles.shape[1]
 
     u = upscale
     T = tile * u
@@ -367,18 +373,18 @@ def decode_spatial_tiled(
     wx = axis_weights(idx[:, 1], w)
     weight = wy[:, None, :, None, None] * wx[:, None, None, :, None]  # [N,1,T,T,1]
 
-    out = jnp.zeros((B, h * u, w * u, 3), jnp.float32)
-    den = jnp.zeros((B, h * u, w * u, 1), jnp.float32)
+    out = jnp.zeros((B_out, h * u, w * u, 3), jnp.float32)
+    den = jnp.zeros((B_out, h * u, w * u, 1), jnp.float32)
 
     def accum(carry, i):
         out, den = carry
         y, x = idx[i, 0] * u, idx[i, 1] * u
         patch = tiles[i].astype(jnp.float32) * weight[i]
         out = jax.lax.dynamic_update_slice(
-            out, jax.lax.dynamic_slice(out, (0, y, x, 0), (B, T, T, 3)) + patch,
+            out, jax.lax.dynamic_slice(out, (0, y, x, 0), (B_out, T, T, 3)) + patch,
             (0, y, x, 0))
         den = jax.lax.dynamic_update_slice(
-            den, jax.lax.dynamic_slice(den, (0, y, x, 0), (B, T, T, 1)) + weight[i],
+            den, jax.lax.dynamic_slice(den, (0, y, x, 0), (B_out, T, T, 1)) + weight[i],
             (0, y, x, 0))
         return (out, den), None
 

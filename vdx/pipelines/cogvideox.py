@@ -95,15 +95,40 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
             "vae_dec": (self.vae_dec.init, (k, lat)),
         }
 
-    def _decode_raw(self, chunk: int, **opts):
+    def _decode_raw(self, chunk: int, spatial_tile: int = 0,
+                    tile_overlap: int = 8):
         """Causal 3D VAE decode — temporally causal over the WHOLE latent
-        clip, so it is not chunkable over frames (chunk is ignored)."""
-        assert not opts, f"unknown decode opts: {opts}"
+        clip, so it is not chunkable over frames (chunk is ignored).
+
+        ``spatial_tile`` (latent px): overlap-blended spatial tiling —
+        REQUIRED at the headline 49f @480x720 shape, where the untiled
+        decoder's pre-output feature map is bf16[1,52,480,720,256] =
+        18.4 GB > one chip's HBM (measured; the diffusers counterpart needs
+        enable_tiling() there for the same reason). Peak memory becomes
+        ONE tile column through the decoder."""
         cfg = self.vae_config
         vae_dec = self.vae_dec
 
         def decode(params, latents):  # [B, f_lat, h, w, C]
-            x = vae_dec.apply(params["vae_dec"], latents / cfg.scaling_factor)
+            z = latents / cfg.scaling_factor
+            if spatial_tile:
+                from vdx.models.vae import decode_spatial_tiled
+
+                B, f_lat = z.shape[:2]
+
+                def dec_flat(zt):  # [B*f_lat, t, t, C] -> [B*F_out, T, T, 3]
+                    zz = zt.reshape(B, f_lat, *zt.shape[1:])
+                    x = vae_dec.apply(params["vae_dec"], zz)
+                    return x.reshape((B * x.shape[1],) + x.shape[2:])
+
+                x = decode_spatial_tiled(
+                    dec_flat, z.reshape((B * f_lat,) + z.shape[2:]),
+                    cfg.spatial_downscale, tile=spatial_tile,
+                    overlap=tile_overlap,
+                )
+                x = x.reshape((B, -1) + x.shape[1:])
+                return _to_uint8(x)
+            x = vae_dec.apply(params["vae_dec"], z)
             return _to_uint8(x)
 
         return decode
@@ -135,6 +160,8 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         seed: Union[int, jax.Array, Sequence[int]] = 0,
         output_type: str = "np",
         scheduler: Optional[str] = None,
+        decode_spatial_tile: int = 0,  # latent px; 0 = untiled
+        decode_tile_overlap: int = 8,
     ) -> PipelineOutput:
         assert self.params is not None
         scheduler = scheduler or self.scheduler
@@ -144,12 +171,16 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         latent_shape = (B, f_lat, height // cfg.spatial_downscale,
                         width // cfg.spatial_downscale, self.latent_channels)
 
+        decode_opts = {}
+        if decode_spatial_tile:
+            decode_opts = {"spatial_tile": decode_spatial_tile,
+                           "tile_overlap": decode_tile_overlap}
         text_states = self.encode_prompt(prompt, negative_prompt)
         out = self._run_generate(
             cond=text_states, guidance_arr=jnp.float32(guidance_scale),
             guidance=True, latent_shape=latent_shape, scheduler=scheduler,
             num_inference_steps=num_inference_steps, seed=seed,
-            decode_chunk=f_lat, output_type="np",
+            decode_chunk=f_lat, output_type="np", decode_opts=decode_opts,
             latent_only=(output_type == "latent"),
         )
         if output_type == "latent":
