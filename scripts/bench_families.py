@@ -103,8 +103,11 @@ def run_cogvideox():
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
+    # T5-XXL (9.4 GB) host-offloads after encode — it doesn't co-fit with
+    # the generate program's working set on one chip (PERF.md)
     pipe = CogVideoXPipeline.with_random_params(
-        seed=0, dit_config=CogVideoXConfig.b2(), policy=policy
+        seed=0, dit_config=CogVideoXConfig.b2(), policy=policy,
+        offload_text_encoder=True,
     )
     print(f"init {time.time() - t0:.1f} s", flush=True)
     _bench(

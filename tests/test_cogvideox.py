@@ -117,6 +117,39 @@ class TestCogVideoXPipeline:
         assert frames.shape == (5, 32, 32, 3)
         assert frames.dtype == np.uint8
 
+    def test_offloaded_text_encoder_matches_resident(self):
+        """offload_text_encoder (the single-chip HBM fix for T5-XXL +
+        generate co-residency, PERF.md): same video as the resident
+        pipeline; the t5 tree leaves self.params after the first encode;
+        checkpoints still contain it."""
+        kw = dict(
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=5, height=32, width=32,
+                   num_inference_steps=2, seed=1)
+        resident = CogVideoXPipeline.with_random_params(seed=0, **kw)
+        a = resident("a corgi", **gen).frames[0]
+        off = CogVideoXPipeline(offload_text_encoder=True, **kw)
+        off.params = dict(resident.params)
+        b = off("a corgi", **gen).frames[0]
+        np.testing.assert_array_equal(a, b)
+        assert "t5" not in off.params and off._t5_host is not None
+        # cache hit path returns the same states object
+        c = off("a corgi", **gen).frames[0]
+        np.testing.assert_array_equal(a, c)
+        # checkpoint completeness
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            off.save_checkpoint(d + "/ckpt")
+            from vdx.core.checkpoint import load_params
+
+            loaded = load_params(d + "/ckpt")
+            assert "t5" in loaded
+
     def test_spatial_tiled_decode(self):
         """decode_spatial_tile — the knob that fits the headline
         49f @480x720 decode on one chip (untiled peak activation is

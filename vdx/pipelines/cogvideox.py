@@ -57,6 +57,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         frame_shards: int = 1,
         mesh=None,
         progress=None,
+        offload_text_encoder: bool = False,
     ):
         self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl)
         self.unet = self.dit  # the core's denoiser handle
@@ -66,6 +67,17 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         self.text_encoder = T5Encoder(t5_config, policy=policy)
         self.tokenizer = tokenizer or FallbackBPETokenizer()
         self.params = params
+        # Single-chip HBM arithmetic at the headline shape: T5-XXL params
+        # are 9.4 GB bf16, and text encoding is a separate pre-pass — with
+        # DiT (3.4 GB) + VAEs + generate-program activations they don't
+        # co-fit in 16 GB (measured ResourceExhausted). offload=True keeps
+        # the T5 tree on the host, uploads it as ONE device_put per encode
+        # (cache below amortises repeats), and frees the HBM before the
+        # generate program runs — the TPU analogue of the reference's
+        # enable_model_cpu_offload (reference 05:144).
+        self.offload_text_encoder = offload_text_encoder
+        self._t5_host = None
+        self._text_cache: dict = {}
         self._init_core(
             dit_config, policy=policy, scheduler=scheduler,
             attn_impl=attn_impl, pab=None, frame_shards=frame_shards,
@@ -133,11 +145,27 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
 
         return decode
 
+    def save_checkpoint(self, path) -> None:
+        """Re-merge the host-offloaded T5 tree so checkpoints stay complete."""
+        from vdx.core.checkpoint import save_params
+
+        params = dict(self.params or {})
+        if self._t5_host is not None and "t5" not in params:
+            params["t5"] = self._t5_host
+        save_params(params, path)
+
     def encode_prompt(
         self, prompt: Union[str, Sequence[str]], negative_prompt: str = ""
     ) -> jnp.ndarray:
-        """T5 text states [2B, S, D], ordered (uncond x B, cond x B)."""
+        """T5 text states [2B, S, D], ordered (uncond x B, cond x B).
+
+        With ``offload_text_encoder`` the T5 tree lives on the host; it is
+        uploaded as one tree device_put per MISS of the prompt cache, and
+        its device buffers are released before returning."""
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        key = (tuple(prompts), negative_prompt or "")
+        if self.offload_text_encoder and key in self._text_cache:
+            return self._text_cache[key]
         ids = self.tokenizer(
             [negative_prompt or ""] * len(prompts) + prompts,
             context_length=self.dit.config.max_text_len,
@@ -145,7 +173,22 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         ids = np.remainder(ids, self.text_encoder.config.vocab_size)
         if "t5" not in self._compiled:
             self._compiled["t5"] = jax.jit(self.text_encoder.apply)
-        return self._compiled["t5"](self.params["t5"], jnp.asarray(ids))
+        if not self.offload_text_encoder:
+            return self._compiled["t5"](self.params["t5"], jnp.asarray(ids))
+        if self._t5_host is None:
+            # first use: pull the tree to the host and DROP the device copy
+            # (self.params must stop referencing it or HBM never frees; the
+            # generate program's jit also must not see it as an input)
+            self._t5_host = jax.device_get(self.params["t5"])
+            self.params = {k: v for k, v in self.params.items() if k != "t5"}
+        t5_dev = jax.device_put(self._t5_host)  # ONE tree put (PERF.md)
+        states = self._compiled["t5"](t5_dev, jnp.asarray(ids))
+        states.block_until_ready()
+        del t5_dev  # refs dropped -> 9.4 GB of HBM back before generate
+        if len(self._text_cache) > 16:
+            self._text_cache.clear()
+        self._text_cache[key] = states
+        return states
 
     # ------------------------------------------------------------------
     def __call__(
