@@ -16,11 +16,35 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #include <algorithm>
 
 namespace {
+
+// Optional phase profiling: set VDX_FLOW_PROFILE=1 to print a per-call
+// phase breakdown to stderr (used by scripts/bench_farneback.py).
+struct PhaseProf {
+  bool on;
+  double t[8] = {0};  // convert, blur, resize, polyexp, updmat, boxflow, up
+  PhaseProf() : on(std::getenv("VDX_FLOW_PROFILE") != nullptr) {}
+  static double now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+  }
+  void dump() const {
+    if (!on) return;
+    std::fprintf(stderr,
+                 "[vdxflow] convert %.1f blur %.1f resize %.1f polyexp %.1f "
+                 "updmat %.1f boxflow %.1f upsample %.1f ms\n",
+                 t[0] * 1e3, t[1] * 1e3, t[2] * 1e3, t[3] * 1e3, t[4] * 1e3,
+                 t[5] * 1e3, t[6] * 1e3);
+  }
+};
 
 using std::vector;
 
@@ -150,16 +174,23 @@ void correlate_axis0_mirror(const Image& src, const vector<float>& kern, Image& 
 }
 
 void correlate_axis1_mirror(const Image& src, const vector<float>& kern, Image& dst) {
-  int n = ((int)kern.size() - 1) / 2;
-  dst = Image(src.h, src.w, src.c);
+  // k-outer with an interior fast path (no mirror lookups, contiguous
+  // SIMD-friendly adds); borders keep the per-tap mirror. Accumulation
+  // order per pixel is k-ascending in both paths — numerics unchanged.
+  int n = ((int)kern.size() - 1) / 2, W = src.w;
+  dst = Image(src.h, W, src.c);
   for (int y = 0; y < src.h; y++) {
     const float* s = src.row(y);
     float* d = dst.row(y);
-    for (int x = 0; x < src.w; x++) {
-      for (int k = -n; k <= n; k++) {
-        int xx = mirror_idx(x + k, src.w);
-        d[x] += kern[k + n] * s[xx];
-      }
+    for (int k = -n; k <= n; k++) {
+      float wk = kern[k + n];
+      int x0 = std::max(0, -k), x1 = std::min(W, W - k);
+      const float* sp = s + (size_t)(x0 + k);
+      float* dp = d + (size_t)x0;
+      int len = x1 - x0;
+      for (int i = 0; i < len; i++) dp[i] += wk * sp[i];
+      for (int x = 0; x < x0; x++) d[x] += wk * s[mirror_idx(x + k, W)];
+      for (int x = x1; x < W; x++) d[x] += wk * s[mirror_idx(x + k, W)];
     }
   }
 }
@@ -227,29 +258,71 @@ PolyGaussian prepare_gaussian(int n, double sigma) {
 }
 
 // ------------------------------------------------------------------ polyExp
+// Row-streaming fusion of the separable correlations: per output row, the
+// three vertical passes (g, xg, xxg) land in L1-resident row buffers, the
+// six horizontal passes and the normal-equation assembly run over those
+// buffers in the same sweep. Accumulation order per pixel is k-ascending in
+// both axes — bit-identical to the unfused nine-pass formulation (the
+// original layout the numpy reference vdx/metrics/farneback.py still uses).
 void poly_exp(const Image& img, int n, double sigma, Image& R) {
   PolyGaussian pg = prepare_gaussian(n, sigma);
-  Image b0, b1, b2;
-  correlate_axis0(img, pg.g, b0);
-  correlate_axis0(img, pg.xg, b1);
-  correlate_axis0(img, pg.xxg, b2);
-  Image s_g, s_x, s_xx, s_y, s_xy, s_yy;
-  correlate_axis1(b0, pg.g, s_g);
-  correlate_axis1(b0, pg.xg, s_x);
-  correlate_axis1(b0, pg.xxg, s_xx);
-  correlate_axis1(b1, pg.g, s_y);
-  correlate_axis1(b1, pg.xg, s_xy);
-  correlate_axis1(b2, pg.g, s_yy);
+  int H = img.h, W = img.w;
+  R = Image(H, W, 5);
 
-  R = Image(img.h, img.w, 5);
-  for (int y = 0; y < img.h; y++)
-    for (int x = 0; x < img.w; x++) {
-      R.at(y, x, 0) = (float)(s_x.at(y, x) * pg.ig11);
-      R.at(y, x, 1) = (float)(s_y.at(y, x) * pg.ig11);
-      R.at(y, x, 2) = (float)(s_g.at(y, x) * pg.ig03 + s_xx.at(y, x) * pg.ig33);
-      R.at(y, x, 3) = (float)(s_g.at(y, x) * pg.ig03 + s_yy.at(y, x) * pg.ig33);
-      R.at(y, x, 4) = (float)(s_xy.at(y, x) * pg.ig55);
+  // horizontal correlation with replicate border, k-outer interior fast path
+  auto hcorr = [&](const float* s, const float* kern, float* d) {
+    for (int i = 0; i < W; i++) d[i] = 0.f;
+    for (int k = -n; k <= n; k++) {
+      float wk = kern[k + n];
+      int x0 = std::max(0, -k), x1 = std::min(W, W - k);
+      const float* sp = s + (x0 + k);
+      float* dp = d + x0;
+      int len = x1 - x0;
+      for (int i = 0; i < len; i++) dp[i] += wk * sp[i];
+      for (int x = 0; x < x0; x++) d[x] += wk * s[0];
+      for (int x = x1; x < W; x++) d[x] += wk * s[W - 1];
     }
+  };
+
+  vector<float> buf((size_t)9 * W);
+  float* b0 = buf.data();          // img ⊛ g   (axis 0)
+  float* b1 = b0 + W;              // img ⊛ xg
+  float* b2 = b1 + W;              // img ⊛ xxg
+  float* s_g = b2 + W;
+  float* s_x = s_g + W;
+  float* s_xx = s_x + W;
+  float* s_y = s_xx + W;
+  float* s_xy = s_y + W;
+  float* s_yy = s_xy + W;
+
+  for (int y = 0; y < H; y++) {
+    for (int i = 0; i < 3 * W; i++) b0[i] = 0.f;
+    for (int k = -n; k <= n; k++) {
+      const float* s = img.row(std::min(std::max(y + k, 0), H - 1));
+      float wg = pg.g[k + n], wx = pg.xg[k + n], wxx = pg.xxg[k + n];
+      for (int i = 0; i < W; i++) {
+        float v = s[i];
+        b0[i] += wg * v;
+        b1[i] += wx * v;
+        b2[i] += wxx * v;
+      }
+    }
+    hcorr(b0, pg.g.data(), s_g);
+    hcorr(b0, pg.xg.data(), s_x);
+    hcorr(b0, pg.xxg.data(), s_xx);
+    hcorr(b1, pg.g.data(), s_y);
+    hcorr(b1, pg.xg.data(), s_xy);
+    hcorr(b2, pg.g.data(), s_yy);
+
+    float* r = R.row(y);
+    for (int x = 0; x < W; x++) {
+      r[x * 5 + 0] = (float)(s_x[x] * pg.ig11);
+      r[x * 5 + 1] = (float)(s_y[x] * pg.ig11);
+      r[x * 5 + 2] = (float)(s_g[x] * pg.ig03 + s_xx[x] * pg.ig33);
+      r[x * 5 + 3] = (float)(s_g[x] * pg.ig03 + s_yy[x] * pg.ig33);
+      r[x * 5 + 4] = (float)(s_xy[x] * pg.ig55);
+    }
+  }
 }
 
 // ------------------------------------------------------------ update matrices
@@ -393,11 +466,14 @@ extern "C" int vdx_farneback_flow(
     int poly_n, double poly_sigma, float* out_flow) {
   if (!prev || !curr || !out_flow || H <= 0 || W <= 0) return 1;
 
+  PhaseProf prof;
+  double t0 = PhaseProf::now();
   Image prev_f(H, W), curr_f(H, W);
   for (int i = 0; i < H * W; i++) {
     prev_f.data[i] = (float)prev[i];
     curr_f.data[i] = (float)curr[i];
   }
+  prof.t[0] += PhaseProf::now() - t0;
 
   int k0 = 0;
   for (k0 = levels; k0 >= 0; k0--) {
@@ -417,11 +493,13 @@ extern "C" int vdx_farneback_flow(
       flow = Image(h, w, 2);
       have_flow = true;
     } else {
+      t0 = PhaseProf::now();
       Image up;
       resize_bilinear(flow, h, w, up);
       float mul = (float)(1.0 / pyr_scale);
       for (auto& v : up.data) v *= mul;
       flow = std::move(up);
+      prof.t[6] += PhaseProf::now() - t0;
     }
 
     Image R0, R1;
@@ -431,19 +509,34 @@ extern "C" int vdx_farneback_flow(
       double sigma = (1.0 / scale - 1.0) * 0.5;
       int smooth_sz = std::max((int)std::lround(sigma * 5) | 1, 3);
       Image smoothed, level_img;
+      t0 = PhaseProf::now();
       gaussian_blur(*srcs[i], smooth_sz, sigma, smoothed);
+      prof.t[1] += PhaseProf::now() - t0;
+      t0 = PhaseProf::now();
       if (scale < 1.0) resize_bilinear(smoothed, h, w, level_img);
       else level_img = std::move(smoothed);
+      prof.t[2] += PhaseProf::now() - t0;
+      t0 = PhaseProf::now();
       poly_exp(level_img, poly_n, poly_sigma, *Rs[i]);
+      prof.t[3] += PhaseProf::now() - t0;
     }
 
     Image M;
+    t0 = PhaseProf::now();
     update_matrices(R0, R1, flow, M);
+    prof.t[4] += PhaseProf::now() - t0;
     for (int it = 0; it < iterations; it++) {
+      t0 = PhaseProf::now();
       update_flow_box(M, winsize, flow);
-      if (it < iterations - 1) update_matrices(R0, R1, flow, M);
+      prof.t[5] += PhaseProf::now() - t0;
+      if (it < iterations - 1) {
+        t0 = PhaseProf::now();
+        update_matrices(R0, R1, flow, M);
+        prof.t[4] += PhaseProf::now() - t0;
+      }
     }
   }
+  prof.dump();
 
   std::memcpy(out_flow, flow.data.data(), sizeof(float) * H * W * 2);
   return 0;
