@@ -179,11 +179,11 @@ class TestSVDPAB:
 
 
 class TestPABAllFamilies:
-    """PAB plumbing on the remaining PAB-capable families (Latte DiT — the
-    PAB paper's native architecture — and ModelScope UNet3D): interval-1
+    """PAB plumbing on the remaining separable-site families (Latte DiT —
+    the PAB paper's native architecture — and ModelScope UNet3D): interval-1
     refresh reproduces the exact pipeline; broadcasting stays close while
-    skipping work. (CogVideoX is excluded by design: joint text+video 3D
-    attention has no separable spatial/temporal/cross sites to broadcast.)"""
+    skipping work. (CogVideoX broadcasts its joint attention instead —
+    TestCogVideoXPAB.)"""
 
     GEN2 = dict(num_frames=4, height=64, width=64, num_inference_steps=6,
                 seed=3, output_type="np")
@@ -225,3 +225,58 @@ class TestPABAllFamilies:
             psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
             assert psnr > 20.0, (cls.__name__, psnr)
             assert not np.array_equal(a, c), cls.__name__
+
+
+class TestCogVideoXPAB:
+    """PAB on the joint-attention family: the broadcast site is the ONE
+    joint text+video attention output per block (PABConfig.joint_interval);
+    the spatial/temporal/cross intervals have no sites in this model, so
+    they must be inert regardless of their values."""
+
+    GEN = dict(num_frames=5, height=32, width=32, num_inference_steps=6,
+               seed=3, output_type="np")
+
+    @classmethod
+    def _kw(cls):
+        from vdx.models.cogvideox import CausalVAEConfig, CogVideoXConfig
+        from vdx.models.t5 import T5Config
+
+        return dict(
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+
+    @pytest.fixture(scope="class")
+    def cog_exact(self):
+        from vdx.pipelines.cogvideox import CogVideoXPipeline
+
+        return CogVideoXPipeline.with_random_params(seed=0, **self._kw())
+
+    def test_joint_interval1_is_exact(self, cog_exact):
+        from vdx.pipelines.cogvideox import CogVideoXPipeline
+
+        # other intervals deliberately non-1: they have no sites here
+        pab = PABConfig(spatial_interval=4, temporal_interval=4,
+                        cross_interval=4, joint_interval=1,
+                        warmup_steps=0, cooldown_steps=0)
+        turbo = CogVideoXPipeline(pab=pab, **self._kw())
+        turbo.params = cog_exact.params
+        a = cog_exact("a corgi", **self.GEN).frames[0]
+        b = turbo("a corgi", **self.GEN).frames[0]
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+
+    def test_joint_broadcast_stays_close(self, cog_exact):
+        from vdx.pipelines.cogvideox import CogVideoXPipeline
+
+        pab = PABConfig(joint_interval=2, warmup_steps=1, cooldown_steps=1)
+        turbo = CogVideoXPipeline(pab=pab, **self._kw())
+        turbo.params = cog_exact.params
+        a = cog_exact("a corgi", **self.GEN).frames[0].astype(np.float64)
+        b = turbo("a corgi", **self.GEN).frames[0].astype(np.float64)
+        mse = ((a - b) / 255.0) ** 2
+        psnr = 10 * np.log10(1.0 / max(mse.mean(), 1e-12))
+        assert psnr > 20.0, psnr
+        assert not np.array_equal(a, b)

@@ -107,9 +107,10 @@ class CogVideoXBlock(nn.Module):
     config: CogVideoXConfig
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    pab: bool = False
 
     @nn.compact
-    def __call__(self, vid, txt, c, rope=None):
+    def __call__(self, vid, txt, c, rope=None, pab_refresh=None):
         cfg = self.config
         D = cfg.hidden_size
         head_dim = D // cfg.num_heads
@@ -119,10 +120,15 @@ class CogVideoXBlock(nn.Module):
             D, self.policy, name="norm1")(vid, txt, c)
         joint = jnp.concatenate([ht, hv], axis=1)
         # CogVideoX attention: biased qkv + per-head LayerNorm on q/k; the
-        # rope tables carry identity rows for the text segment.
+        # rope tables carry identity rows for the text segment. The joint
+        # attention output is the model's (single) PAB broadcast site —
+        # PABConfig.joint_interval; there are no separable spatial/temporal/
+        # cross sites in this family.
         out = Attention(D, cfg.num_heads, head_dim, qkv_bias=True,
                         qk_norm=True, policy=self.policy,
-                        attn_impl=self.attn_impl, name="attn")(joint, rope=rope)
+                        attn_impl=self.attn_impl, pab=self.pab,
+                        name="attn")(
+            joint, refresh=(pab_refresh or {}).get("joint"), rope=rope)
         vid = vid + gate * out[:, S_txt:]
         txt = txt + e_gate * out[:, :S_txt]
 
@@ -144,6 +150,7 @@ class CogVideoXDiT(nn.Module):
     config: CogVideoXConfig = CogVideoXConfig()
     policy: Policy = DEFAULT_POLICY
     attn_impl: str = "auto"
+    pab: bool = False
 
     @nn.compact
     def __call__(
@@ -151,6 +158,7 @@ class CogVideoXDiT(nn.Module):
         sample: jnp.ndarray,  # [B, F, h, w, C] latent video
         timestep: jnp.ndarray,
         text_states: jnp.ndarray,  # [B, S_txt, text_dim] T5 states
+        pab_refresh=None,  # {'joint': bool | None} broadcast refresh flags
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, C = sample.shape
@@ -188,7 +196,8 @@ class CogVideoXDiT(nn.Module):
 
         for i in range(cfg.depth):
             vid, txt = CogVideoXBlock(cfg, self.policy, self.attn_impl,
-                                      name=f"blocks_{i}")(vid, txt, c, rope=rope)
+                                      pab=self.pab, name=f"blocks_{i}")(
+                vid, txt, c, rope=rope, pab_refresh=pab_refresh)
 
         # final LN over the JOINT sequence, then adaLN on the video part
         ln_f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,

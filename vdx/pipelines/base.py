@@ -68,6 +68,9 @@ class PABConfig:
     spatial_interval: int = 2
     temporal_interval: int = 4
     cross_interval: int = 6
+    #: joint text+video attention (CogVideoX-class DiTs) — those models have
+    #: ONE attention type, so this is their only broadcast site
+    joint_interval: int = 2
     warmup_steps: int = 2
     cooldown_steps: int = 2
 
@@ -434,6 +437,7 @@ class VideoDiffusionPipeline:
                 "spatial": flag(pab.spatial_interval),
                 "temporal": flag(pab.temporal_interval),
                 "cross": flag(pab.cross_interval),
+                "joint": flag(pab.joint_interval),
             }
 
         def _apply_local(variables, model_in, t_b, den_args, flags):

@@ -5,12 +5,15 @@ Target config BASELINE.json configs[3]: 49 frames @ 480x720. T5 text states
 (temporal 4x + spatial 8x upsampling; frame count = 1 + 4*(F_latent-1)).
 
 Built on the shared ``VideoDiffusionPipeline`` compiled core: single-program
-generate (denoise scan + causal decode in one dispatch) and
-``variable_steps`` come from the base. ``frame_shards`` is NOT supported:
-the DiT attends jointly over text+all-frame tokens, so there is no
-frame-local/ring split of its attention (the UNet families' temporal-only
-communication pattern does not apply); scaling CogVideoX runs means data
-parallelism over requests instead.
+generate (denoise scan + causal decode in one dispatch), ``variable_steps``,
+and PAB turbo mode come from the base. PAB here broadcasts the JOINT
+text+video attention output (``PABConfig.joint_interval``) — the family's
+single attention type and exactly the DiT regime the PAB technique targets;
+the spatial/temporal/cross intervals have no sites in this model.
+``frame_shards`` is NOT supported: the DiT attends jointly over
+text+all-frame tokens, so there is no frame-local/ring split of its
+attention (the UNet families' temporal-only communication pattern does not
+apply); scaling CogVideoX runs means data parallelism over requests instead.
 """
 
 from __future__ import annotations
@@ -53,13 +56,15 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         policy: Policy = DEFAULT_POLICY,
         scheduler: str = "ddim",
         attn_impl: str = "auto",
+        pab=None,  # PABConfig: joint-attention broadcast turbo mode
         variable_steps: int = 0,
         frame_shards: int = 1,
         mesh=None,
         progress=None,
         offload_text_encoder: bool = False,
     ):
-        self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl)
+        self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl,
+                                pab=pab is not None)
         self.unet = self.dit  # the core's denoiser handle
         self.vae_enc = CausalVAEEncoder(vae_config, policy=policy)
         self.vae_dec = CausalVAEDecoder(vae_config, policy=policy)
@@ -80,7 +85,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         self._text_cache: dict = {}
         self._init_core(
             dit_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=None, frame_shards=frame_shards,
+            attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
             mesh=mesh, variable_steps=variable_steps, progress=progress,
         )
 
