@@ -22,7 +22,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-FAMILIES = ("modelscope", "latte", "cogvideox")
+FAMILIES = ("modelscope", "latte", "cogvideox", "cogvideox_pab")
 
 
 def _bench(pipe, call_kwargs, n_frames, name):
@@ -94,7 +94,7 @@ def run_latte():
     )
 
 
-def run_cogvideox():
+def run_cogvideox(pab: bool = False):
     import jax.numpy as jnp
 
     from vdx.core.dtypes import Policy
@@ -110,16 +110,28 @@ def run_cogvideox():
         offload_text_encoder=True,
     )
     print(f"init {time.time() - t0:.1f} s", flush=True)
-    _bench(
-        pipe,
-        dict(prompt="a sailboat gliding across a calm lake at dawn",
-             num_frames=49, height=480, width=720,
-             num_inference_steps=50, guidance_scale=6.0,
-             # untiled causal decode peaks at 18.4 GB > HBM at this shape
-             # (PERF.md); 40-latent tiles keep it ~2.7 GB
-             decode_spatial_tile=40, output_type="np"),
-        49, "cogvideox-2b 49f@480x720 50 steps",
-    )
+    call = dict(prompt="a sailboat gliding across a calm lake at dawn",
+                num_frames=49, height=480, width=720,
+                num_inference_steps=50, guidance_scale=6.0,
+                # untiled causal decode peaks at 18.4 GB > HBM at this shape
+                # (PERF.md); 40-latent tiles keep it ~2.7 GB
+                decode_spatial_tile=40, output_type="np")
+    if pab:
+        # turbo: joint-attention broadcast (the family's one PAB site).
+        # Each cached site is [2, ~18k, 1920] bf16 ≈ 131 MB x 30 blocks
+        # ≈ 3.9 GB — fits alongside the 3.4 GB DiT with T5 offloaded.
+        from vdx.pipelines.base import PABConfig
+
+        params = pipe.params
+        pipe = CogVideoXPipeline(
+            dit_config=CogVideoXConfig.b2(), policy=policy,
+            offload_text_encoder=True,
+            pab=PABConfig(joint_interval=2, warmup_steps=2, cooldown_steps=2),
+        )
+        pipe.params = params
+        _bench(pipe, call, 49, "cogvideox-2b 49f@480x720 50 steps PAB(joint/2)")
+        return
+    _bench(pipe, call, 49, "cogvideox-2b 49f@480x720 50 steps")
 
 
 def main() -> None:
@@ -134,7 +146,8 @@ def main() -> None:
             jax.device_put(np.ones((8, 8), np.float32))))
         print(f"tunnel warmup {time.time() - t0:.1f} s", flush=True)
         {"modelscope": run_modelscope, "latte": run_latte,
-         "cogvideox": run_cogvideox}[which[0]]()
+         "cogvideox": run_cogvideox,
+         "cogvideox_pab": lambda: run_cogvideox(pab=True)}[which[0]]()
         return
     for fam in which:
         print(f"=== {fam} ===", flush=True)

@@ -66,3 +66,78 @@ class TestTensorParallelParity:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(expected), atol=2e-4
         )
+
+
+class TestTensorParallelAllFamilies:
+    """The Megatron col/row rules are module-NAME based (to_q/net_0/ff_in
+    column, to_out/net_2/ff_out row, generic last-axis split otherwise) —
+    so they must hold for every denoiser family, not just UNetMotion.
+    TP-sharded forward == replicated, per family."""
+
+    def _families(self):
+        import jax.numpy as jnp
+
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.cogvideox import CogVideoXConfig, CogVideoXDiT
+        from vdx.models.dit import LatteConfig, LatteDiT
+        from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
+        from vdx.models.unet3d import UNet3D, UNet3DConfig
+
+        k = jax.random.PRNGKey(0)
+        t = jnp.asarray([500])
+        fams = []
+        cfg = UNet3DConfig.tiny()
+        fams.append((
+            "unet3d",
+            UNet3D(cfg, policy=FP32_POLICY),
+            (jax.random.normal(k, (1, 4, 16, 16, cfg.in_channels)), t,
+             jax.random.normal(k, (1, 7, cfg.cross_attention_dim))),
+        ))
+        cfg = LatteConfig.tiny()
+        fams.append((
+            "latte",
+            LatteDiT(cfg, policy=FP32_POLICY),
+            (jax.random.normal(k, (1, 4, 8, 8, cfg.in_channels)), t,
+             jax.random.normal(k, (1, 7, cfg.cross_attention_dim))),
+        ))
+        cfg = CogVideoXConfig.tiny()
+        fams.append((
+            "cogvideox",
+            CogVideoXDiT(cfg, policy=FP32_POLICY),
+            (jax.random.normal(k, (1, 2, 8, 8, cfg.in_channels)), t,
+             jax.random.normal(k, (1, cfg.max_text_len, cfg.text_dim))),
+        ))
+        cfg = SVDUNetConfig.tiny()
+        fams.append((
+            "svd",
+            UNetSpatioTemporal(cfg, policy=FP32_POLICY),
+            (jax.random.normal(k, (1, 4, 16, 16, cfg.in_channels)),
+             jnp.asarray([1.5]),
+             jax.random.normal(k, (1, 1, cfg.cross_attention_dim)),
+             jnp.asarray([[6, 127, 0.02]], jnp.float32)),
+        ))
+        return fams
+
+    def test_tp_matches_replicated_per_family(self):
+        import numpy as np
+
+        from vdx.parallel.mesh import param_sharding_rules
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs 2 devices")
+        mesh = make_mesh(1, 1, 2)
+        for name, model, args in self._families():
+            params = fast_init(model, *args, seed=2)
+            expected = model.apply(params, *args)
+            shardings = param_sharding_rules(params, mesh, min_size=2**8)
+            n_sharded = sum(
+                int(s.spec != jax.sharding.PartitionSpec())
+                for s in jax.tree.leaves(shardings)
+            )
+            assert n_sharded > 10, (name, n_sharded)
+            sharded_params = jax.device_put(params, shardings)
+            got = jax.jit(model.apply)(sharded_params, *args)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(expected), atol=2e-4,
+                err_msg=name,
+            )
