@@ -12,6 +12,11 @@ frames/s end-to-end, BASELINE.md). vs_baseline = ours / 0.1333.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+value = steady-state throughput (K videos pipelined one request deep: the
+12 MB uint8 frame readback of video i overlaps video i+1's denoise — on
+the tunneled backend that transfer is ~0.4-1.0 s of otherwise dead time).
+"latency_s" reports the sequential request->frames-on-host wall-clock.
+
 Note: weights are seeded-random (the zero-egress build env has no model hub);
 throughput is weight-value-independent. Each timed run uses a fresh seed so
 no dispatch-level caching can short-circuit execution.
@@ -75,26 +80,44 @@ def _run() -> None:
         num_inference_steps=25,
         height=512,
         width=512,
-        output_type="np",
         decode_chunk=8,
     )
     prompt = "a corgi walking on the beach, sunset lighting, high quality"
 
     # Warmup (compile)
     t0 = time.time()
-    out = pipe(prompt, seed=1234, **kwargs)
+    out = pipe(prompt, seed=1234, output_type="np", **kwargs)
     assert out.frames[0].shape == (16, 512, 512, 3)
     compile_s = time.time() - t0
 
-    # Timed runs, fresh seed each -> unique dispatches end to end.
-    times = []
-    for i in range(3):
+    # Per-video latency: request -> frames on host, fresh seed each so no
+    # dispatch-level caching can short-circuit execution.
+    lat = []
+    for i in range(2):
         t0 = time.time()
-        out = pipe(prompt, seed=100 + i, **kwargs)
+        out = pipe(prompt, seed=100 + i, output_type="np", **kwargs)
         out.frames[0][0, 0, 0, 0]  # force host materialisation
-        times.append(time.time() - t0)
+        lat.append(time.time() - t0)
+    latency_s = min(lat)
 
-    sec_per_video = min(times)
+    # Steady-state throughput: K requests pipelined one deep — video i's
+    # 12 MB device->host frame transfer rides under video i+1's denoise
+    # (output_type="device" + JAX async dispatch; the transfer is dead
+    # time in the sequential mode, PERF.md round-3 cont.). Every video is
+    # still fully materialised on the host inside the timed window.
+    K = 4
+    t0 = time.time()
+    prev = None
+    for i in range(K):
+        out = pipe(prompt, seed=200 + i, output_type="device", **kwargs)
+        if prev is not None:
+            f = np.asarray(prev.frames)
+            assert f.shape == (1, 16, 512, 512, 3) and f.dtype == np.uint8
+        prev = out
+    f = np.asarray(prev.frames)
+    assert f.shape == (1, 16, 512, 512, 3) and f.dtype == np.uint8
+    sec_per_video = (time.time() - t0) / K
+
     frames_per_sec = 16.0 / sec_per_video
     baseline_fps = 16.0 / 120.0  # reference: ~2 min/video (README.md:194-197)
 
@@ -104,6 +127,7 @@ def _run() -> None:
         "unit": "frames/s",
         "vs_baseline": round(frames_per_sec / baseline_fps, 2),
         "sec_per_video": round(sec_per_video, 3),
+        "latency_s": round(latency_s, 3),
         "compile_s": round(compile_s, 1),
         "init_s": round(init_s, 1),
         "tunnel_warmup_s": round(tunnel_warmup_s, 1),

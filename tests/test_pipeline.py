@@ -60,6 +60,15 @@ class TestPipeline:
             out = tiny_pipe("portrait", scheduler=sched, output_type="np", **GEN_KWARGS)
             assert out.frames[0].shape == (4, 64, 64, 3)
 
+    def test_device_output_matches_np(self, tiny_pipe):
+        """output_type="device" leaves frames on device ([B,F,H,W,3] u8);
+        materialising them matches the synchronous np path exactly."""
+        dev = tiny_pipe("portrait", output_type="device", **GEN_KWARGS)
+        ref = tiny_pipe("portrait", output_type="np", **GEN_KWARGS)
+        got = np.asarray(dev.frames)
+        assert got.shape == (1, 4, 64, 64, 3) and got.dtype == np.uint8
+        np.testing.assert_array_equal(got[0], ref.frames[0])
+
     def test_pil_output(self, tiny_pipe):
         out = tiny_pipe("portrait", **GEN_KWARGS)
         frames = out.frames[0]

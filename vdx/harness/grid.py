@@ -34,8 +34,15 @@ from vdx.harness.config import (
 from vdx.io.frames import export_to_gif, save_frames
 
 
-def generate_video(pipe, config: ExperimentConfig):
-    """Run the pipeline for one experiment config -> list of PIL frames."""
+def generate_video(pipe, config: ExperimentConfig, output_type: str = "pil"):
+    """Run the pipeline for one experiment config.
+
+    output_type="pil" (default) -> list of PIL frames, synchronous.
+    output_type="device" -> device-resident uint8 frames; the call
+    returns as soon as the program is enqueued, so the caller can
+    overlap readback + PNG/GIF encoding with the NEXT experiment's
+    denoise (run_grid_search does exactly that).
+    """
     out = pipe(
         prompt=config.prompt,
         negative_prompt=config.negative_prompt,
@@ -45,8 +52,23 @@ def generate_video(pipe, config: ExperimentConfig):
         height=config.height,
         width=config.width,
         seed=config.seed,
+        output_type=output_type,
     )
-    return out.frames[0]
+    frames = out.frames
+    return frames[0] if isinstance(frames, list) else frames
+
+
+def _as_pil(frames) -> list:
+    """Device/np uint8 frames -> PIL list; PIL lists pass through."""
+    if isinstance(frames, list):
+        return frames
+    import numpy as np
+    from PIL import Image
+
+    arr = np.asarray(frames)
+    if arr.ndim == 5:  # [B, F, H, W, 3] from output_type="device"
+        arr = arr[0]
+    return [Image.fromarray(f) for f in arr]
 
 
 def save_experiment(frames, config: ExperimentConfig, output_dir: Path) -> Path:
@@ -59,6 +81,7 @@ def save_experiment(frames, config: ExperimentConfig, output_dir: Path) -> Path:
 
 
 def _run_one(pipe, config: ExperimentConfig, output_dir: Path, log) -> None:
+    """Synchronous single-experiment path (generate -> save, no overlap)."""
     exp_dir = Path(output_dir) / config.experiment_id
     if (exp_dir / "config.json").exists():
         log(f"  Skipping {config.experiment_id} (already exists)")
@@ -141,7 +164,20 @@ def run_grid_search(
     output_dir: Path = Path("outputs/05_grid_search"),
     log=print,
     step_progress: bool = False,
+    overlap_io: bool = True,
 ) -> List[ExperimentConfig]:
+    """Run the (possibly filtered) grid.
+
+    overlap_io=True (default) pipelines the study one experiment deep:
+    experiment i's device->host frame readback plus PNG/GIF encoding run
+    while experiment i+1's denoise executes on the chip (JAX async
+    dispatch + output_type="device"). The hidden host work is large:
+    ~0.4 s of tunnel D2H (scripts/bench_overlap.py) plus seconds of
+    PNG/GIF encode per 16f@512^2 experiment (PERF.md round-3 cont.).
+    The resume contract is unchanged — config.json is still written
+    last, after the frames hit disk, so a crash mid-overlap just
+    re-generates the pending experiment on the next run.
+    """
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     configs = plan_grid_search(phase, video_filter)
@@ -152,8 +188,26 @@ def run_grid_search(
         # NOTE: must be set before the first __call__ — the callback's
         # presence is part of the compiled-program signature.
         pipe.progress_callback = lambda i, n: log(f"    step {i + 1}/{n}")
+    if not overlap_io:
+        for config in configs:
+            _run_one(pipe, config, output_dir, log)
+        return configs
+
+    pending = None  # (frames, config) generated but not yet read back/saved
     for config in configs:
-        _run_one(pipe, config, output_dir, log)
+        exp_dir = output_dir / config.experiment_id
+        if (exp_dir / "config.json").exists():
+            log(f"  Skipping {config.experiment_id} (already exists)")
+            continue
+        log(f"  Generating: {config.experiment_id}")
+        frames = generate_video(pipe, config, output_type="device")
+        if pending is not None:
+            save_experiment(_as_pil(pending[0]), pending[1], output_dir)
+            gc.collect()
+        pending = (frames, config)
+    if pending is not None:
+        save_experiment(_as_pil(pending[0]), pending[1], output_dir)
+        gc.collect()
     return configs
 
 

@@ -702,6 +702,14 @@ class VideoDiffusionPipeline:
             latents = prog(*args)
             return PipelineOutput(frames=[], latents=latents)
         latents, frames_u8 = prog(*args)
+        if output_type == "device":
+            # Async surface: frames stay on device ([B, F, H, W, 3] uint8)
+            # and the call returns as soon as the program is enqueued (JAX
+            # async dispatch). The caller overlaps the device->host frame
+            # transfer (np.asarray(out.frames)) with the NEXT request's
+            # denoise — on the tunneled backend that transfer costs ~1 s
+            # per 12 MB video, pure pipeline bubble otherwise (PERF.md).
+            return PipelineOutput(frames=frames_u8, latents=latents)
         frames_np = np.asarray(frames_u8)  # [B, F, H, W, 3]
 
         if output_type == "np":

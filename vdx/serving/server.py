@@ -29,6 +29,8 @@ import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
+import numpy as np
+
 
 def _png_b64(frames) -> list:
     """uint8 [F, H, W, 3] -> list of base64 PNG strings."""
@@ -70,11 +72,14 @@ class GenerationService:
             out = self.pipe(
                 prompt,
                 seed=seed,
-                output_type="np",
+                output_type="device",
                 **kwargs,
             )
+        # D2H readback OUTSIDE the lock: the frames transfer rides under
+        # the next request's denoise (device programs serialise; transfers
+        # overlap compute — PERF.md round-3 cont.).
+        frames = np.asarray(out.frames)[0]
         dt = time.time() - t0
-        frames = out.frames[0]
         encoded = _png_b64(frames)
         self.requests_served += 1
         self.total_seconds += dt
@@ -138,9 +143,9 @@ class Img2VidService(GenerationService):
         seed = int(request.get("seed", 0))
         t0 = time.time()
         with self._lock:
-            out = self.pipe(image, seed=seed, output_type="np", **kwargs)
+            out = self.pipe(image, seed=seed, output_type="device", **kwargs)
+        frames = np.asarray(out.frames)[0]  # D2H outside the lock
         dt = time.time() - t0
-        frames = out.frames[0]
         encoded = _png_b64(frames)
         self.requests_served += 1
         self.total_seconds += dt
