@@ -173,3 +173,35 @@ class TestTracer:
         assert p1.read_text().startswith("Forward trace")
         d = json.loads(p2.read_text())
         assert d["num_modules"] == len(tracer.traces)
+
+
+class TestFrameIO:
+    def test_gif_preserves_frames_and_colors(self, tmp_path):
+        """Shared-palette GIF export: every frame written (no PIL
+        duplicate-merge), and colours appearing only in LATER frames
+        survive quantisation (palette sampled from the whole clip)."""
+        from PIL import Image
+
+        from vdx.io.frames import export_to_gif
+
+        # solid-colour frames incl. a colour absent from frame 0
+        fills = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+        frames = [np.full((16, 16, 3), f, dtype=np.uint8) for f in fills]
+        p = export_to_gif(frames, tmp_path / "v.gif")
+        im = Image.open(p)
+        assert im.n_frames == len(fills)
+        for i, fill in enumerate(fills):
+            im.seek(i)
+            got = np.asarray(im.convert("RGB"))[0, 0]
+            assert np.abs(got.astype(int) - np.array(fill)).max() <= 8
+
+    def test_gif_accepts_pil_and_numpy(self, tmp_path):
+        from PIL import Image
+
+        from vdx.io.frames import export_to_gif
+
+        arr = np.zeros((8, 8, 3), np.uint8)
+        export_to_gif([arr, arr + 100], tmp_path / "a.gif")
+        export_to_gif([Image.fromarray(arr), Image.fromarray(arr + 100)],
+                      tmp_path / "b.gif")
+        assert (tmp_path / "a.gif").exists() and (tmp_path / "b.gif").exists()
