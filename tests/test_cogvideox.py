@@ -117,6 +117,25 @@ class TestCogVideoXPipeline:
         assert frames.shape == (5, 32, 32, 3)
         assert frames.dtype == np.uint8
 
+    def test_device_output_matches_np(self):
+        """output_type="device": frames stay on device, trimmed to the
+        requested count INSIDE the decode program (no host-side slice),
+        and materialise equal to the np path."""
+        pipe = CogVideoXPipeline.with_random_params(
+            seed=0,
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=5, height=32, width=32,
+                   num_inference_steps=2, seed=1)
+        dev = pipe("a corgi", output_type="device", **gen)
+        ref = pipe("a corgi", output_type="np", **gen)
+        got = np.asarray(dev.frames)
+        assert got.shape == (1, 5, 32, 32, 3) and got.dtype == np.uint8
+        np.testing.assert_array_equal(got[0], ref.frames[0])
+
     def test_offloaded_text_encoder_matches_resident(self):
         """offload_text_encoder (the single-chip HBM fix for T5-XXL +
         generate co-residency, PERF.md): same video as the resident

@@ -113,9 +113,14 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         }
 
     def _decode_raw(self, chunk: int, spatial_tile: int = 0,
-                    tile_overlap: int = 8):
+                    tile_overlap: int = 8, trim: int = 0):
         """Causal 3D VAE decode — temporally causal over the WHOLE latent
         clip, so it is not chunkable over frames (chunk is ignored).
+
+        ``trim``: keep only the first N decoded frames INSIDE the program
+        (the causal decoder emits 1 + td*(f_lat-1) frames; the request asks
+        for num_frames). In-program trimming keeps output_type="device"
+        a single dispatch and shrinks the D2H readback.
 
         ``spatial_tile`` (latent px): overlap-blended spatial tiling —
         REQUIRED at the headline 49f @480x720 shape, where the untiled
@@ -144,8 +149,12 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
                     overlap=tile_overlap,
                 )
                 x = x.reshape((B, -1) + x.shape[1:])
+                if trim:
+                    x = x[:, :trim]
                 return _to_uint8(x)
             x = vae_dec.apply(params["vae_dec"], z)
+            if trim:
+                x = x[:, :trim]
             return _to_uint8(x)
 
         return decode
@@ -219,22 +228,24 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         latent_shape = (B, f_lat, height // cfg.spatial_downscale,
                         width // cfg.spatial_downscale, self.latent_channels)
 
-        decode_opts = {}
+        decode_opts = {"trim": num_frames}
         if decode_spatial_tile:
-            decode_opts = {"spatial_tile": decode_spatial_tile,
-                           "tile_overlap": decode_tile_overlap}
+            decode_opts.update(spatial_tile=decode_spatial_tile,
+                               tile_overlap=decode_tile_overlap)
         text_states = self.encode_prompt(prompt, negative_prompt)
         out = self._run_generate(
             cond=text_states, guidance_arr=jnp.float32(guidance_scale),
             guidance=True, latent_shape=latent_shape, scheduler=scheduler,
             num_inference_steps=num_inference_steps, seed=seed,
-            decode_chunk=f_lat, output_type="np", decode_opts=decode_opts,
+            decode_chunk=f_lat,
+            output_type="device" if output_type == "device" else "np",
+            decode_opts=decode_opts,
             latent_only=(output_type == "latent"),
         )
-        if output_type == "latent":
+        if output_type in ("latent", "device"):
             return out
-        # the causal decoder emits 1 + td*(f_lat-1) frames; trim to request
-        videos = [v[:num_frames] for v in out.frames]
+        # frame trim to the request count happens inside the decode program
+        videos = out.frames
         if output_type == "pil":
             from PIL import Image
 
