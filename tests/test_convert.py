@@ -6,6 +6,8 @@ mapping rule, and a synthetic torch-shaped state dict built from the rules
 must round-trip through the converter with exact layout transforms.
 """
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -341,3 +343,148 @@ class TestUNet3DAndLatteRules:
 
         w = np.arange(12).reshape(6, 2).astype(np.float32)
         np.testing.assert_array_equal(t_flatten(w), np.arange(12))
+
+
+class TestLoadPretrained:
+    """The from_pretrained surface: safetensors files -> pipeline params
+    through the per-family rules, plus the CLI wrapper."""
+
+    def _synth_sources(self, pipe, tmp_path):
+        """Synthesise torch-shaped .safetensors files for every component
+        from the pipeline's own conversion rules; returns (sources,
+        expected {component: {path: converted leaf}})."""
+        from safetensors.numpy import save_file
+
+        rng = np.random.default_rng(0)
+        sources, expected = {}, {}
+        for comp, (rules, allowed) in pipe._conversion_rules().items():
+            flat = flatten_params(pipe.params[comp])
+            sd, inv = {}, {}
+            for path, leaf in flat.items():
+                if any(a in path for a in allowed):
+                    continue
+                hf_key, transform = rules[path]
+                src = _src_for(transform, tuple(leaf.shape), rng)
+                sd[hf_key] = src
+                inv[path] = transform(src)
+            f = tmp_path / f"{comp}.safetensors"
+            save_file(sd, str(f))
+            sources[comp] = str(f)
+            expected[comp] = inv
+        return sources, expected
+
+    def test_animatediff_two_file_merge_and_generate(self, tmp_path):
+        """AnimateDiff's hub layout: separate UNet + motion-adapter files
+        merged into one state dict (reference 01:60-73); loaded pipeline
+        generates and its leaves equal the transformed torch tensors."""
+        from safetensors.numpy import load_file, save_file
+
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        kw = dict(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        pipe = AnimateDiffPipeline.with_random_params(seed=0, **kw)
+        sources, expected = self._synth_sources(pipe, tmp_path)
+
+        # split the unet file into (unet, motion) like the hub ships it
+        unet_sd = load_file(sources["unet"])
+        motion = {k: v for k, v in unet_sd.items() if "motion_modules" in k}
+        assert motion, "tiny config should still have motion modules"
+        rest = {k: v for k, v in unet_sd.items() if k not in motion}
+        save_file(rest, str(tmp_path / "unet_only.safetensors"))
+        save_file(motion, str(tmp_path / "motion.safetensors"))
+        sources["unet"] = [str(tmp_path / "unet_only.safetensors"),
+                           str(tmp_path / "motion.safetensors")]
+
+        loaded = AnimateDiffPipeline.from_pretrained(sources, **kw)
+        for comp, inv in expected.items():
+            got = flatten_params(loaded.params[comp])
+            for path, want in inv.items():
+                np.testing.assert_allclose(
+                    np.asarray(got[path]), want, rtol=0, atol=0,
+                    err_msg=f"{comp}/{path}")
+        out = loaded("a corgi", num_frames=4, height=64, width=64,
+                     num_inference_steps=2, seed=3, output_type="np")
+        assert out.frames[0].shape == (4, 64, 64, 3)
+
+    def test_strict_contract(self, tmp_path):
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        kw = dict(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        pipe = AnimateDiffPipeline.with_random_params(seed=0, **kw)
+        sources, _ = self._synth_sources(pipe, tmp_path)
+        with pytest.raises(ValueError, match="unknown components"):
+            pipe.load_pretrained({"nope": sources["vae"]})
+        with pytest.raises(ValueError, match="missing components"):
+            pipe.load_pretrained({"vae": sources["vae"]})
+        # non-strict partial load keeps the other components' values
+        before = np.asarray(
+            flatten_params(pipe.params["text"])["token_embedding/embedding"])
+        pipe.load_pretrained({"vae": sources["vae"]}, strict=False)
+        after = np.asarray(
+            flatten_params(pipe.params["text"])["token_embedding/embedding"])
+        np.testing.assert_array_equal(before, after)
+
+    def test_cli_roundtrip(self, tmp_path):
+        """scripts/convert_checkpoint.py end to end on tiny SVD: convert,
+        save Orbax, load back, generate."""
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_checkpoint",
+            Path(__file__).resolve().parents[1]
+            / "scripts" / "convert_checkpoint.py",
+        )
+        cli = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cli)
+
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import SVDImg2VidPipeline
+
+        kw = dict(
+            unet_config=SVDUNetConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        pipe = SVDImg2VidPipeline.with_random_params(seed=0, **kw)
+        sources, expected = self._synth_sources(pipe, tmp_path)
+
+        assert cli.main(["--family", "svd", "--list-components",
+                         "--tiny", "--dtype", "fp32"]) == 0
+        out_dir = tmp_path / "ckpt"
+        argv = ["--family", "svd", "--tiny", "--dtype", "fp32",
+                "--out", str(out_dir)]
+        for comp, path in sources.items():
+            argv += ["--src", f"{comp}={path}"]
+        assert cli.main(argv) == 0
+
+        loaded = SVDImg2VidPipeline(**kw)
+        loaded.load_checkpoint(out_dir)
+        got = flatten_params(loaded.params["unet"])
+        some = list(expected["unet"].items())[:5]
+        for path, want in some:
+            np.testing.assert_allclose(np.asarray(got[path]), want,
+                                       rtol=0, atol=0, err_msg=path)
+        image = np.zeros((64, 64, 3), np.float32)
+        out = loaded(image, num_frames=4, height=64, width=64,
+                     num_inference_steps=2, seed=1, decode_chunk=2)
+        assert out.frames[0].shape == (4, 64, 64, 3)

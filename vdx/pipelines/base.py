@@ -242,6 +242,109 @@ class VideoDiffusionPipeline:
         template = self.params if self.params is not None else self.init_params()
         self.params = load_params(path, template=template)
 
+    # ------------------------------------------------------------------
+    # Torch-checkpoint conversion (the from_pretrained surface)
+    # ------------------------------------------------------------------
+    def _denoiser_rules(self):
+        """Torch->flax mapping rules for this family's denoiser."""
+        from vdx.core.convert import unet_motion_rules
+
+        return unet_motion_rules(self.unet.config)
+
+    def _conversion_rules(self) -> dict:
+        """{component: (rules, allowed_missing substrings)} consumed by
+        ``load_pretrained``. Components mirror ``_init_calls``; families
+        with non-standard towers override."""
+        from vdx.core import convert as C
+
+        return {
+            "unet": (self._denoiser_rules(), ()),
+            "vae": (C.vae_rules(self.vae.config), ()),
+            "text": (C.clip_text_rules(self.text_encoder.config), ()),
+        }
+
+    def load_pretrained(self, sources: dict, strict: bool = True) -> dict:
+        """Fill ``self.params`` from torch ``.safetensors`` checkpoints.
+
+        sources: {component: path | [paths]} — multiple paths for one
+        component merge into a single state dict (the hub ships
+        AnimateDiff as a separate SD-1.5 UNet + motion adapter; reference
+        experiments/01_baseline_generation.py:55-73). Values may also be
+        pre-loaded {torch_key: array} dicts.
+
+        strict=True requires every component present and every param leaf
+        covered (modulo the family's documented unconvertible leaves);
+        strict=False leaves unsupplied components / uncovered leaves at
+        their current values. Returns {component: conversion report}.
+        The conversion rules themselves are coverage- and torch-numerics-
+        tested (tests/test_convert.py, tests/test_torch_parity.py).
+        """
+        from vdx.core.convert import convert_checkpoint, load_safetensors
+
+        specs = self._conversion_rules()
+        unknown = sorted(set(sources) - set(specs))
+        if unknown:
+            raise ValueError(
+                f"unknown components {unknown}; "
+                f"{type(self).__name__} takes {sorted(specs)}"
+            )
+        if strict:
+            absent = sorted(set(specs) - set(sources))
+            if absent:
+                raise ValueError(
+                    f"missing components {absent} "
+                    "(pass strict=False to keep init values for them)"
+                )
+        if self.params is None:
+            self.params = self.init_params()
+        params = dict(self.params)
+        reports = {}
+        for comp, paths in sources.items():
+            rules, allowed_missing = specs[comp]
+            if isinstance(paths, (str,)) or hasattr(paths, "__fspath__") or (
+                isinstance(paths, dict)
+            ):
+                paths = [paths]
+            sd: dict = {}
+            for p in paths:
+                part = p if isinstance(p, dict) else load_safetensors(p)
+                overlap = set(sd) & set(part)
+                if overlap:
+                    raise ValueError(
+                        f"{comp}: overlapping checkpoint keys "
+                        f"{sorted(overlap)[:5]}"
+                    )
+                sd.update(part)
+            converted, report = convert_checkpoint(
+                sd, params[comp], rules, strict=False
+            )
+            hard = [
+                m for m in report["missing"]
+                if not any(a in m for a in allowed_missing)
+            ]
+            if strict and (hard or report["shape_errors"]):
+                raise ValueError(
+                    f"{comp}: conversion failed:\n"
+                    + "\n".join((hard + report["shape_errors"])[:20])
+                )
+            params[comp] = converted
+            reports[comp] = report
+        # ONE whole-tree transfer — per-leaf puts pay a tunnel round trip
+        # each and measure 16x slower (PERF.md startup-floor table).
+        self.params = jax.device_put(params)
+        return reports
+
+    @classmethod
+    def from_pretrained(cls, sources: dict, strict: bool = True, **kwargs):
+        """Construct the pipeline and load converted torch checkpoints in
+        one call — the capability analogue of diffusers'
+        ``from_pretrained`` (reference 01:69-73). See ``load_pretrained``
+        for the sources contract; ``scripts/convert_checkpoint.py`` is the
+        CLI wrapper that persists the result as an Orbax checkpoint."""
+        pipe = cls(**kwargs)
+        pipe.load_pretrained(sources, strict=strict)
+        return pipe
+
     def _init_calls(self, seed: int) -> dict:
         """{component: (init_fn, args)} — the family's component inits."""
         k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)

@@ -159,6 +159,26 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
 
         return decode
 
+    def _conversion_rules(self) -> dict:
+        from vdx.core import convert as C
+
+        return {
+            "dit": (C.cogvideox_dit_rules(self.dit.config), ()),
+            "t5": (C.t5_encoder_rules(self.text_encoder.config), ()),
+            "vae_enc": (C.causal_vae_encoder_rules(self.vae_config), ()),
+            "vae_dec": (C.causal_vae_decoder_rules(self.vae_config), ()),
+        }
+
+    def load_pretrained(self, sources: dict, strict: bool = True) -> dict:
+        # Re-merge an already-offloaded T5 tree so the template is complete,
+        # then drop the stale host copy + prompt cache — the next encode
+        # re-offloads from the NEW weights.
+        if self._t5_host is not None and "t5" not in (self.params or {}):
+            self.params = {**(self.params or {}), "t5": self._t5_host}
+        self._t5_host = None
+        self._text_cache.clear()
+        return super().load_pretrained(sources, strict=strict)
+
     def save_checkpoint(self, path) -> None:
         """Re-merge the host-offloaded T5 tree so checkpoints stay complete."""
         from vdx.core.checkpoint import save_params

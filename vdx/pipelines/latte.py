@@ -18,3 +18,17 @@ class LattePipeline(VideoDiffusionPipeline):
     def __init__(self, **kwargs):
         kwargs.setdefault("scheduler", "ddim")
         super().__init__(**kwargs)
+
+    def _denoiser_rules(self):
+        from vdx.core.convert import latte_dit_rules
+
+        return latte_dit_rules(self.unet.config)
+
+    def _conversion_rules(self) -> dict:
+        from vdx.core.convert import LATTE_UNCOVERED
+
+        specs = super()._conversion_rules()
+        # leaves with no Latte checkpoint counterpart stay at init
+        # (latte_dit_rules docstring)
+        specs["unet"] = (specs["unet"][0], LATTE_UNCOVERED)
+        return specs

@@ -107,6 +107,16 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
             "vision": (self.vision.init, (k, jnp.zeros((1, vs, vs, 3)))),
         }
 
+    def _conversion_rules(self) -> dict:
+        from vdx.core import convert as C
+
+        return {
+            "unet": (C.svd_unet_rules(self.unet.config), ()),
+            "vae": (C.vae_rules(self.vae.config), ()),
+            "tdec": (C.temporal_decoder_rules(self.vae.config), ()),
+            "vision": (C.clip_vision_rules(self.vision.config), ()),
+        }
+
     def _prepare_cond(self, params, key, cond, latent_shape) -> dict:
         """Image conditioning INSIDE the program: VAE-encode + noise-augment
         the conditioning frame, CLIP-vision embed, micro-condition ids."""

@@ -27,3 +27,8 @@ class TextToVideoMSPipeline(VideoDiffusionPipeline):
         kwargs.setdefault("text_config", vit_h_text_config())
         kwargs.setdefault("scheduler", "ddim")
         super().__init__(**kwargs)
+
+    def _denoiser_rules(self):
+        from vdx.core.convert import unet3d_rules
+
+        return unet3d_rules(self.unet.config)
