@@ -38,7 +38,7 @@ DEFAULT_CONFIG = {
 }
 
 
-def load_pipeline(tiny: bool = False):
+def load_pipeline(tiny: bool = False, checkpoint=None):
     import jax.numpy as jnp
 
     from vdx.core.dtypes import Policy
@@ -50,18 +50,25 @@ def load_pipeline(tiny: bool = False):
         from vdx.models.unet_motion import UNetMotionConfig
         from vdx.models.vae import VAEConfig
 
-        return AnimateDiffPipeline.with_random_params(
-            seed=0,
+        kwargs = dict(
             unet_config=UNetMotionConfig.tiny(),
             vae_config=VAEConfig.tiny(),
             text_config=CLIPTextConfig.tiny(),
             policy=FP32_POLICY,
             scheduler="euler",
         )
-    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    return AnimateDiffPipeline.with_random_params(
-        seed=0, policy=policy, scheduler="euler"
-    )
+    else:
+        kwargs = dict(
+            policy=Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16),
+            scheduler="euler",
+        )
+    if checkpoint:
+        # converted weights (scripts/convert_checkpoint.py); the euler
+        # scheduler config matches the reference baseline (01:76-80)
+        pipe = AnimateDiffPipeline(**kwargs)
+        pipe.load_checkpoint(checkpoint)
+        return pipe
+    return AnimateDiffPipeline.with_random_params(seed=0, **kwargs)
 
 
 def generate_video(pipe, prompt, name, output_dir: Path, seed=42, **kwargs):
@@ -83,12 +90,15 @@ def main():
     p.add_argument("--output", default="outputs/01_baseline")
     p.add_argument("--tiny", action="store_true",
                    help="tiny configs at reduced resolution (CI smoke)")
+    p.add_argument("--checkpoint", default=None,
+                   help="Orbax dir of converted weights "
+                        "(scripts/convert_checkpoint.py)")
     args = p.parse_args()
 
     output_dir = Path(args.output)
     output_dir.mkdir(parents=True, exist_ok=True)
 
-    pipe = load_pipeline(tiny=args.tiny)
+    pipe = load_pipeline(tiny=args.tiny, checkpoint=args.checkpoint)
     gen_kwargs = {}
     if args.tiny:
         gen_kwargs = dict(height=64, width=64, num_frames=4, num_inference_steps=3)

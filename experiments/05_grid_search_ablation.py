@@ -28,6 +28,9 @@ def main():
     p.add_argument("--output", default="outputs/05_grid_search")
     p.add_argument("--tiny", action="store_true", help="tiny configs (CI smoke)")
     p.add_argument("--yes", action="store_true", help="skip confirmation prompt")
+    p.add_argument("--checkpoint", default=None,
+                   help="Orbax dir of converted weights "
+                        "(scripts/convert_checkpoint.py)")
     p.add_argument("--step-progress", action="store_true",
                    help="log every denoise step (streams from inside the "
                         "fused scan via jax.debug.callback)")
@@ -48,7 +51,8 @@ def main():
 
     from experiments_common import load_pipeline  # noqa: F401
 
-    pipe = load_pipeline(tiny=args.tiny, scheduler="ddim")
+    pipe = load_pipeline(tiny=args.tiny, scheduler="ddim",
+                         checkpoint=args.checkpoint)
 
     start = datetime.now()
     if args.tiny:

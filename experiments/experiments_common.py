@@ -7,11 +7,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def load_pipeline(tiny: bool = False, scheduler: str = "ddim",
-                  variable_steps: int = 50):
+                  variable_steps: int = 50, checkpoint=None):
     """Full (bf16 SD-1.5) or tiny (fp32 CI) AnimateDiff pipeline.
 
-    Weights: converted checkpoints when available (core.convert), otherwise
-    seeded random init — the zero-egress build environment has no model hub.
+    Weights: ``checkpoint`` (an Orbax dir from
+    scripts/convert_checkpoint.py or pipe.save_checkpoint) when given,
+    otherwise seeded random init — the zero-egress build environment has
+    no model hub.
     variable_steps (default 50 >= the grid's max step count, reference
     05:47): ONE step-count-agnostic compiled program serves all six step
     counts of the grid search instead of six multi-minute compiles.
@@ -29,8 +31,7 @@ def load_pipeline(tiny: bool = False, scheduler: str = "ddim",
         from vdx.models.unet_motion import UNetMotionConfig
         from vdx.models.vae import VAEConfig
 
-        return AnimateDiffPipeline.with_random_params(
-            seed=0,
+        kwargs = dict(
             unet_config=UNetMotionConfig.tiny(),
             vae_config=VAEConfig.tiny(),
             text_config=CLIPTextConfig.tiny(),
@@ -38,8 +39,13 @@ def load_pipeline(tiny: bool = False, scheduler: str = "ddim",
             scheduler=scheduler,
             variable_steps=variable_steps,
         )
-    policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    return AnimateDiffPipeline.with_random_params(
-        seed=0, policy=policy, scheduler=scheduler,
-        variable_steps=variable_steps,
-    )
+    else:
+        kwargs = dict(
+            policy=Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16),
+            scheduler=scheduler, variable_steps=variable_steps,
+        )
+    if checkpoint:
+        pipe = AnimateDiffPipeline(**kwargs)
+        pipe.load_checkpoint(checkpoint)
+        return pipe
+    return AnimateDiffPipeline.with_random_params(seed=0, **kwargs)

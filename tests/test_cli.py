@@ -83,3 +83,35 @@ class TestExperimentCLIs:
         )
         assert len(results) == 2
         assert all("temporal_consistency_score" in rec for rec in results)
+
+    def test_01_baseline_with_checkpoint(self, tmp_path):
+        """--checkpoint: an Orbax dir (as scripts/convert_checkpoint.py
+        writes) drives the baseline CLI instead of random init."""
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=7,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        ckpt = tmp_path / "ckpt"
+        pipe.save_checkpoint(ckpt)
+
+        r = run_cli(
+            REPO / "experiments" / "01_baseline_generation.py",
+            "--tiny", "--checkpoint", str(ckpt),
+            "--output", str(tmp_path / "out"),
+            timeout=900,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        gifs = list((tmp_path / "out").glob("*.gif"))
+        assert len(gifs) == 6  # the six reference prompts
