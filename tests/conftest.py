@@ -60,6 +60,7 @@ QUICK_EXCLUDE = (  # slow outliers (>20 s each measured) within quick modules
     "test_concurrent_requests_share_one_batch",
     "test_one_decode_program_and_latency_win",
     "test_save_load_roundtrip_generation",
+    "TestLoadPretrained",  # safetensors->pipeline end-to-ends (~2 min)
 )
 
 

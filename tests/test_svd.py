@@ -59,6 +59,19 @@ class TestSVDPipeline:
         assert frames.shape == (4, 64, 64, 3)
         assert frames.dtype == np.uint8
 
+    def test_device_output_matches_np(self, tiny_svd):
+        """output_type="device" (the serving img2vid route reads back
+        outside the device lock) materialises equal to the np path."""
+        rng = np.random.default_rng(0)
+        image = rng.random((64, 64, 3)).astype(np.float32)
+        kw = dict(num_frames=4, height=64, width=64, num_inference_steps=2,
+                  seed=3, decode_chunk=2)
+        dev = tiny_svd(image, output_type="device", **kw)
+        ref = tiny_svd(image, output_type="np", **kw)
+        got = np.asarray(dev.frames)
+        assert got.shape == (1, 4, 64, 64, 3) and got.dtype == np.uint8
+        np.testing.assert_array_equal(got[0], ref.frames[0])
+
     def test_image_conditions_output(self, tiny_svd):
         rng = np.random.default_rng(0)
         im1 = rng.random((64, 64, 3)).astype(np.float32)
