@@ -113,6 +113,12 @@ class TestFrameSharded:
             c.astype(np.int32), a.astype(np.int32), atol=1
         )
 
+        # device output composes with frame sharding: the frames array is
+        # sharded over the mesh; np.asarray gathers it to the host equal
+        # to the sharded np path.
+        d = sharded("portrait", **{**gen, "output_type": "device"})
+        np.testing.assert_array_equal(np.asarray(d.frames)[0], b)
+
     def test_output_shape_sharding(self, setup):
         """Output keeps the input's frame sharding over the mesh axis."""
         from jax.sharding import NamedSharding, PartitionSpec as P
