@@ -92,6 +92,19 @@ def run_batched_experiments(
     for c in done:
         log(f"  Skipping {c.experiment_id} (already exists)")
 
+    pending = None  # (device frames [N,F,H,W,3], cfgs) awaiting readback+save
+
+    def _flush(p):
+        frames_np = np.asarray(p[0])  # rides under the NEXT batch's denoise
+        from PIL import Image
+
+        for arr, cfg in zip(frames_np, p[1]):
+            pil = [Image.fromarray(f) for f in arr]
+            exp_dir = output_dir / cfg.experiment_id
+            save_frames(pil, exp_dir / "frames")
+            export_to_gif(pil, exp_dir / f"{cfg.experiment_id}.gif")
+            cfg.save(exp_dir / "config.json")
+
     for (steps, F, H, W), group in group_configs(todo):
         ds = pipe.vae.config.downscale
         latent_shape = (1, F, H // ds, W // ds, pipe.unet.config.in_channels)
@@ -122,14 +135,14 @@ def run_batched_experiments(
             while F % dchunk:
                 dchunk -= 1
             decode = pipe._get_decode(dchunk)
-            for i, cfg in enumerate(chunk_cfgs):
-                frames = np.asarray(decode(pipe.params, latents[i]))[0]
-                from PIL import Image
+            # ONE batched decode for the whole chunk (like serving's
+            # _run_batch), left on device; the PREVIOUS batch's readback +
+            # PNG/GIF encode then runs while this batch executes.
+            frames_dev = decode(pipe.params, latents[:, 0])
+            if pending is not None:
+                _flush(pending)
+            pending = (frames_dev, chunk_cfgs)
 
-                pil = [Image.fromarray(f) for f in frames]
-                exp_dir = output_dir / cfg.experiment_id
-                save_frames(pil, exp_dir / "frames")
-                export_to_gif(pil, exp_dir / f"{cfg.experiment_id}.gif")
-                cfg.save(exp_dir / "config.json")
-
+    if pending is not None:
+        _flush(pending)
     return list(configs)
