@@ -47,8 +47,10 @@ def export_to_gif(frames: Sequence, path: Union[str, Path], fps: int = 8) -> Pat
         [np.asarray(f.convert("RGB").resize((64, 64))) for f in pil], axis=0
     )
     palette = Image.fromarray(strip).quantize(colors=256, method=Image.MEDIANCUT)
-    quantized = [f.quantize(palette=palette, dither=Image.FLOYDSTEINBERG)
-                 for f in pil]
+    quantized = [
+        f.convert("RGB").quantize(palette=palette, dither=Image.FLOYDSTEINBERG)
+        for f in pil
+    ]
     quantized[0].save(
         path,
         save_all=True,
