@@ -127,3 +127,54 @@ class TestEncodeAndTrain:
                          jax.random.PRNGKey(2))
         assert np.isfinite(float(m["loss"]))
         assert int(state2.step) == 1
+
+    def test_finetuned_params_drive_the_pipeline(self, frame_root, tmp_path):
+        """Full production loop closure: clips -> VAE latents -> train step
+        -> checkpoint -> reload into the PIPELINE -> generate. The trained
+        UNet must change the output vs the init weights."""
+        import jax
+        import jax.numpy as jnp
+
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.parallel.train import init_train_state, make_train_step
+        from vdx.pipelines import AnimateDiffPipeline
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=4, height=64, width=64, num_inference_steps=2,
+                   seed=5, output_type="np")
+        before = pipe("portrait", **gen).frames[0]
+
+        ds = FrameFolderDataset(frame_root, clip_frames=4, size=(64, 64))
+        batch = next(iter(VideoClipLoader(ds, batch_size=2, seed=0)))
+        latents = encode_clips_to_latents(
+            pipe.vae, pipe.params["vae"], batch["pixels"])
+        ctx = jnp.zeros((2, 7, pipe.unet.config.cross_attention_dim))
+        state, opt = init_train_state(
+            pipe.unet, pipe.params["unet"], learning_rate=1e-2)
+        step = jax.jit(make_train_step(pipe.unet, opt))
+        state, _ = step(state, {"latents": latents, "context": ctx},
+                        jax.random.PRNGKey(2))
+
+        pipe.params = {**pipe.params, "unet": state.params}
+        ckpt = tmp_path / "finetuned"
+        pipe.save_checkpoint(ckpt)
+
+        fresh = AnimateDiffPipeline(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        fresh.load_checkpoint(ckpt)
+        after = fresh("portrait", **gen).frames[0]
+        assert after.shape == before.shape
+        assert not np.array_equal(after, before)
