@@ -50,6 +50,7 @@ QUICK_MODULES = {
     "test_serving.py",           # HTTP surface + micro-batching
     "test_parallel.py",          # mesh/shard_map collectives
     "test_convert.py",           # weight-conversion rule coverage
+    "test_lora.py",              # LoRA merge/convert/train/pipeline surface
     "test_subsystems.py",        # checkpoint/tracing/failure contracts
 }
 QUICK_EXCLUDE = (  # slow outliers (>20 s each measured) within quick modules

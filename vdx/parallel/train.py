@@ -174,6 +174,54 @@ def make_train_step(model, optimizer, schedule: ScheduleConfig = ScheduleConfig(
     return train_step
 
 
+def make_lora_train_step(model, optimizer,
+                         schedule: ScheduleConfig = ScheduleConfig(),
+                         remat: bool = False):
+    """LoRA fine-tuning step: optimize ONLY the adapter, base frozen.
+
+    Returns ``step(state, batch, rng, base_params) -> (state, metrics)``
+    where ``state.params`` is the flat adapter tree from
+    ``core.lora.init_lora`` and ``base_params`` is the frozen denoiser
+    tree, passed as a runtime argument (never baked into the executable,
+    never touched by AD — gradients flow to the adapter through the
+    ``merge_lora`` reparameterisation only). Same eps-prediction DDPM
+    objective as ``make_train_step``; optimizer state spans just the
+    adapter (~0.1% of the params), which is LoRA's memory story.
+    """
+    from vdx.core.lora import merge_lora
+
+    acp = jnp.asarray(make_alphas_cumprod(schedule))
+    T = schedule.num_train_timesteps
+    apply = jax.checkpoint(model.apply) if remat else model.apply
+
+    def step(state: TrainState, batch, rng, base_params):
+        latents = batch["latents"]
+        rt, rn = jax.random.split(rng)
+        t = jax.random.randint(rt, (latents.shape[0],), 0, T)
+        noise = jax.random.normal(rn, latents.shape, dtype=latents.dtype)
+        a = acp[t][:, None, None, None, None]
+        noisy = jnp.sqrt(a) * latents + jnp.sqrt(1.0 - a) * noise
+
+        def loss_fn(lora):
+            merged = merge_lora(base_params, lora, 1.0)
+            pred = apply(merged, noisy, t, batch["context"])
+            return jnp.mean(
+                (pred.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        lora = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(lora, opt_state, state.step + 1, state.ema_params),
+            {"loss": loss},
+        )
+
+    return step
+
+
 def init_train_state(model, params, learning_rate: float = 1e-4,
                      optimizer: Optional[optax.GradientTransformation] = None,
                      ema: bool = False):

@@ -145,6 +145,8 @@ class VideoDiffusionPipeline:
         # step-count sweeps (grid search) and mixed-step serving.
         self.variable_steps = variable_steps
         self._compiled = {}
+        #: component -> {adapter, pristine leaves, treedef, scale}
+        self._lora_active = {}
         # Per-step progress callback (i, n) — wired through
         # jax.debug.callback so the one-program invariant holds (SURVEY §7e).
         # None => the callback is not traced into the program at all.
@@ -241,6 +243,101 @@ class VideoDiffusionPipeline:
 
         template = self.params if self.params is not None else self.init_params()
         self.params = load_params(path, template=template)
+
+    # ------------------------------------------------------------------
+    # LoRA adapters (capability analogue of diffusers' load_lora_weights)
+    # ------------------------------------------------------------------
+    def load_lora(self, source, scale: float = 1.0, component: str = None,
+                  targets=None, strict: bool = True) -> Optional[dict]:
+        """Attach a LoRA adapter to one component (default: the denoiser).
+
+        source: a ``.safetensors`` path, a torch LoRA state dict
+        (peft / old-diffusers-processor / kohya key formats), or an
+        adapter tree from ``core.lora.init_lora`` / a LoRA fine-tune.
+
+        Weight-space semantics (core/lora.py): the adapted kernels become
+        ``W + scale * (a @ b)`` in ONE jitted device program — no compiled
+        pipeline program is invalidated (params are runtime arguments) and
+        the per-step cost is exactly zero. Loading REPLACES any adapter
+        already active on the component; pristine weights are stashed so
+        ``unload_lora`` / ``set_lora_scale`` are exact (bit-identical
+        restore). Returns the conversion report for torch sources.
+        """
+        from vdx.core import lora as L
+
+        component = component or self.denoiser_param_key
+        targets = tuple(targets or L.DEFAULT_TARGETS)
+        report = None
+        if not isinstance(source, dict) or L.is_lora_state_dict(source):
+            if not isinstance(source, dict):
+                from vdx.core.convert import load_safetensors
+
+                source = load_safetensors(source)
+            rules, _ = self._conversion_rules()[component]
+            source, report = L.convert_lora_checkpoint(
+                source, self.params[component], rules,
+                targets=targets, strict=strict,
+            )
+        base = self._lora_restore(component)  # drop any active adapter
+        leaves, treedef = jax.tree_util.tree_flatten(base)
+        idx = L._leaf_paths(base)
+        self._lora_active[component] = {
+            "adapter": source,
+            "pristine": {p: leaves[i] for p, i in idx.items() if p in source},
+            "treedef": treedef,
+            "scale": float(scale),
+        }
+        self._lora_merge(component, base)
+        return report
+
+    def set_lora_scale(self, scale: float, component: str = None) -> None:
+        """Re-merge the active adapter at a new scale (from pristine —
+        scales never accumulate rounding)."""
+        component = component or self.denoiser_param_key
+        if component not in self._lora_active:
+            raise ValueError(f"no LoRA active on {component!r}")
+        self._lora_active[component]["scale"] = float(scale)
+        self._lora_merge(component, self._lora_restore(component))
+
+    def unload_lora(self, component: str = None) -> None:
+        """Detach the adapter, restoring the pristine weights bit-exactly."""
+        component = component or self.denoiser_param_key
+        if component not in self._lora_active:
+            raise ValueError(f"no LoRA active on {component!r}")
+        base = self._lora_restore(component)
+        del self._lora_active[component]
+        params = dict(self.params)
+        params[component] = base
+        self.params = params
+
+    def _lora_restore(self, component: str):
+        """Component tree with pristine leaves back in place (host-side
+        reference surgery — no device work)."""
+        from vdx.core.lora import _leaf_paths
+
+        tree = self.params[component]
+        state = self._lora_active.get(component)
+        if state is None:
+            return tree
+        leaves = list(jax.tree_util.tree_flatten(tree)[0])
+        for p, i in _leaf_paths(tree).items():
+            if p in state["pristine"]:
+                leaves[i] = state["pristine"][p]
+        return jax.tree_util.tree_unflatten(state["treedef"], leaves)
+
+    def _lora_merge(self, component: str, base) -> None:
+        from vdx.core.lora import merge_lora
+
+        state = self._lora_active[component]
+        key = ("lora_merge", component)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(merge_lora)
+        merged = self._compiled[key](
+            base, state["adapter"], jnp.float32(state["scale"])
+        )
+        params = dict(self.params)
+        params[component] = merged
+        self.params = params
 
     # ------------------------------------------------------------------
     # Torch-checkpoint conversion (the from_pretrained surface)
