@@ -117,3 +117,143 @@ class TestVariableSteps:
             if k[0] == "prog" and ("var", 4) in k
         ]
         assert len(var_keys) == 2  # one per scheduler, NOT per step count
+
+
+class TestVideoToVideo:
+    """video2video (SDEdit) on the unified core: in-program VAE encode ->
+    add_noise_at(t_start) -> truncated denoise scan -> decode."""
+
+    def _video(self, frames=4, hw=64, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (frames, hw, hw, 3), dtype=np.uint8)
+
+    V2V = dict(num_inference_steps=4, seed=5, output_type="np",
+               guidance_scale=7.5)
+
+    def test_shapes_and_determinism(self, tiny_pipe):
+        vid = self._video()
+        out = tiny_pipe("portrait", video=vid, strength=0.5, **self.V2V)
+        frames = out.frames[0]
+        assert frames.shape == (4, 64, 64, 3) and frames.dtype == np.uint8
+        again = tiny_pipe("portrait", video=vid, strength=0.5, **self.V2V)
+        np.testing.assert_array_equal(frames, again.frames[0])
+
+    def test_strength_and_video_change_output(self, tiny_pipe):
+        vid = self._video()
+        a = tiny_pipe("portrait", video=vid, strength=0.5, **self.V2V).frames[0]
+        b = tiny_pipe("portrait", video=vid, strength=1.0, **self.V2V).frames[0]
+        c = tiny_pipe("portrait", video=self._video(seed=9), strength=0.5,
+                      **self.V2V).frames[0]
+        assert not np.array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_uint8_and_float_inputs_agree(self, tiny_pipe):
+        vid = self._video()
+        as_float = vid.astype(np.float32) / 127.5 - 1.0
+        a = tiny_pipe("portrait", video=vid, strength=0.5, **self.V2V).frames[0]
+        b = tiny_pipe("portrait", video=as_float, strength=0.5,
+                      **self.V2V).frames[0]
+        np.testing.assert_array_equal(a, b)
+
+    def test_strength_truncates_the_scan(self):
+        """strength=0.5 over 4 steps must run exactly steps {2, 3}."""
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        seen = []
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0, unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(), text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY, progress=lambda i, n: seen.append((i, n)),
+        )
+        import jax
+
+        out = pipe("portrait", video=self._video(frames=2), strength=0.5,
+                   **self.V2V)
+        jax.effects_barrier()
+        assert out.frames[0].shape == (2, 64, 64, 3)
+        assert sorted(seen) == [(2, 4), (3, 4)], seen
+
+    def test_matches_eager_reference_loop(self, tiny_pipe):
+        """The fused v2v program == an eager python SDEdit loop (encode,
+        add_noise_at, per-step apply/CFG/step, decode) to float noise."""
+        import jax
+        import jax.numpy as jnp
+
+        from vdx.core.rng import as_key
+        from vdx.schedulers import get_sampler
+
+        pipe = tiny_pipe
+        vid = self._video(frames=2)
+        steps, seed, gs, strength = 4, 5, 7.5, 0.5
+        out = pipe("portrait", video=vid, strength=strength,
+                   num_inference_steps=steps, seed=seed, output_type="np",
+                   guidance_scale=gs).frames[0]
+
+        sampler = get_sampler(pipe.scheduler)
+        tables = sampler.make_tables(steps)
+        t_start = steps - max(int(steps * strength), 1)
+
+        v = jnp.asarray(vid.astype(np.float32) / 127.5 - 1.0)[None]
+        vae = pipe.vae
+        z = jax.vmap(
+            lambda f: vae.apply(pipe.params["vae"], f, method=vae.encode),
+            in_axes=1, out_axes=1,
+        )(v)
+        noise = jax.random.normal(as_key(seed), z.shape, jnp.float32)
+        lat = sampler.add_noise_at(z.astype(jnp.float32), noise, t_start,
+                                   tables)
+        context = pipe.encode_prompt("portrait", "")
+        for i in range(t_start, steps):
+            model_in = jnp.concatenate([lat, lat], axis=0)
+            model_in = sampler.scale_model_input(model_in, i, tables)
+            t_b = jnp.broadcast_to(tables.timesteps[i], (2,))
+            eps = pipe.unet.apply(pipe.params["unet"], model_in, t_b, context)
+            u, c = jnp.split(eps, 2, axis=0)
+            eps = u + gs * (c - u)
+            lat = sampler.step(lat, eps, i, tables)
+        imgs = jax.vmap(
+            lambda f: vae.apply(pipe.params["vae"], f, method=vae.decode),
+            in_axes=1, out_axes=1,
+        )(lat)
+        want = np.asarray(
+            jnp.round(jnp.clip(imgs.astype(jnp.float32) / 2 + 0.5, 0, 1)
+                      * 255.0).astype(jnp.uint8)
+        )[0]
+        diff = np.abs(out.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1, diff.max()
+
+    def test_rejections(self, tiny_pipe):
+        vid = self._video()
+        with pytest.raises(ValueError, match="strength"):
+            tiny_pipe("portrait", video=vid, strength=0.0, **self.V2V)
+        with pytest.raises(ValueError, match="dpm"):
+            tiny_pipe("portrait", video=vid, scheduler="dpm", **self.V2V)
+        with pytest.raises(ValueError, match="video batch"):
+            tiny_pipe(["a", "b"], video=vid, **self.V2V)
+
+    def test_frame_sharded_v2v_matches_local(self, tiny_pipe):
+        """v2v composes with frame sharding: encode + denoise + decode all
+        shard over the frames axis and reproduce the local pipeline."""
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        sharded = AnimateDiffPipeline.with_random_params(
+            seed=0, unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(), text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY, frame_shards=2,
+        )
+        sharded.params = tiny_pipe.params  # identical weights
+        vid = self._video(frames=4)
+        kw = dict(num_inference_steps=3, seed=7, output_type="np",
+                  guidance_scale=7.5, decode_chunk=2)
+        local = tiny_pipe("portrait", video=vid, strength=0.75, **kw).frames[0]
+        shard = sharded("portrait", video=vid, strength=0.75, **kw).frames[0]
+        diff = np.abs(local.astype(np.int16) - shard.astype(np.int16))
+        assert diff.max() <= 1, diff.max()

@@ -193,4 +193,6 @@ class TestProgressCallback:
         """Default pipelines must not trace any debug callback in."""
         assert t2v_pipe.progress_callback is None
         progs = [k for k in t2v_pipe._compiled if k and k[0] == "prog"]
-        assert all(k[-1] is False for k in progs)
+        # key: (..., pab, progress, t_start, encode_chunk) — slot 8 is the
+        # progress-callback flag (pipelines/base.py _get_program)
+        assert all(k[8] is False for k in progs)

@@ -218,6 +218,39 @@ class VideoDiffusionPipeline:
 
         return decode
 
+    def _encode_raw(self, chunk: int):
+        """Raw (untraced) pixels->latents encoder: [B, F, H, W, 3] in
+        [-1, 1] -> [B, F, h, w, C]. Frame-chunked like ``_decode_raw``
+        (posterior MEAN, scaled — deterministic, so video2video stays
+        bit-reproducible per seed)."""
+        vae = self.vae
+
+        def encode(params, video):
+            B, F = video.shape[:2]
+            x = video.reshape(B * F // chunk, chunk, *video.shape[2:])
+            z = jax.lax.map(
+                lambda c: vae.apply(params["vae"], c, method=vae.encode), x
+            )
+            return z.reshape(B, F, *z.shape[2:])
+
+        return encode
+
+    def _encode_composable(self, chunk: int):
+        """The encode stage, shard_map-wrapped under frame sharding
+        (encode is frame-local, mirroring ``_decode_composable``)."""
+        encode = self._encode_raw(chunk)
+        if self.mesh is not None:
+            import functools as _ft
+
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            encode = _ft.partial(
+                shard_map, mesh=self.mesh, in_specs=(P(), P(None, "frames")),
+                out_specs=P(None, "frames"), check_vma=False,
+            )(encode)
+        return encode
+
     # ------------------------------------------------------------------
     # Parameter initialisation / loading
     # ------------------------------------------------------------------
@@ -510,7 +543,8 @@ class VideoDiffusionPipeline:
             cb(int(i), int(n))
 
     def _denoise_raw(self, scheduler: str, guidance: bool, latent_shape,
-                     max_steps: int = 0, num_steps: int = 0):
+                     max_steps: int = 0, num_steps: int = 0,
+                     t_start: int = 0, encode_fn=None):
         """The denoise program body (unjitted, for composition).
 
         Two modes sharing one step implementation:
@@ -523,6 +557,12 @@ class VideoDiffusionPipeline:
                    counts, 05:40-51 — each a multi-minute compile in
                    static mode).
 
+        video2video (``encode_fn`` set): the signature gains a trailing
+        ``video`` ([B, F, H, W, 3] in [-1, 1]); init latents come from the
+        in-program VAE encode forward-diffused to step ``t_start``
+        (``sampler.add_noise_at``), and the scan covers
+        [t_start, num_steps) — SDEdit semantics, static mode only.
+
         Scheduler tables are runtime args in BOTH modes (values cached
         device-side by _get_tables), so programs never bake them in.
         """
@@ -532,15 +572,28 @@ class VideoDiffusionPipeline:
         if variable:
             assert not is_dpm, "dpm multistep carries state across steps"
             assert self.pab is None, "PAB program is per-step-count"
+        v2v = encode_fn is not None
+        if v2v:
+            assert not variable and not is_dpm, (
+                "video2video is a static ddim/euler/edm program"
+            )
         unet_apply = self._sharded_unet_apply or self.unet.apply
         mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
         progress = self.progress_callback is not None
 
-        def denoise(params, key, cond, guidance_scale, tables, n=None):
+        def denoise(params, key, cond, guidance_scale, tables, n=None,
+                    video=None):
             prep = self._prepare_cond(params, key, cond, latent_shape)
-            latents = make_noise(prep["key"]) * tables.init_noise_sigma
+            if v2v:
+                z = encode_fn(params, video)
+                noise = make_noise(prep["key"])
+                latents = sampler.add_noise_at(
+                    z.astype(jnp.float32), noise, t_start, tables
+                )
+            else:
+                latents = make_noise(prep["key"]) * tables.init_noise_sigma
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -595,7 +648,9 @@ class VideoDiffusionPipeline:
             def body(lat, i):
                 return real_step(lat, i), None
 
-            out, _ = jax.lax.scan(body, latents, jnp.arange(num_steps))
+            out, _ = jax.lax.scan(
+                body, latents, jnp.arange(t_start, num_steps)
+            )
             return out
 
         return denoise
@@ -707,7 +762,9 @@ class VideoDiffusionPipeline:
 
             return create, step
 
-        def denoise(params, key, cond, guidance_scale, _tables=None, n=None):
+        def denoise(params, key, cond, guidance_scale, _tables=None, n=None,
+                    video=None):
+            assert video is None, "video2video does not compose with PAB"
             prep = self._prepare_cond(params, key, cond, latent_shape)
             latents = make_noise(prep["key"]) * tables.init_noise_sigma
             if mesh is not None:
@@ -801,7 +858,8 @@ class VideoDiffusionPipeline:
         return self._compiled[key]
 
     def _get_program(self, *, scheduler, guidance, latent_shape, num_steps,
-                     chunk=None, decode_opts=None, variable=False):
+                     chunk=None, decode_opts=None, variable=False,
+                     t_start=0, encode_chunk=None):
         """Build-or-fetch the jitted program for this request signature.
 
         chunk=None  -> denoise-only (latent output)
@@ -810,14 +868,22 @@ class VideoDiffusionPipeline:
                        (the tunnel charges a round trip per program;
                        PERF.md methodology), latents never surfacing
                        between stages.
+        encode_chunk=int -> video2video: the program additionally takes
+                       the input video, VAE-encodes it in-program and
+                       starts the (truncated) scan at ``t_start``.
         """
         key = ("prog", scheduler, guidance, latent_shape, num_steps if not variable
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
-               self.pab is not None, self.progress_callback is not None)
+               self.pab is not None, self.progress_callback is not None,
+               t_start, encode_chunk)
         if key in self._compiled:
             return self._compiled[key]
 
+        encode_fn = (
+            None if encode_chunk is None
+            else self._encode_composable(encode_chunk)
+        )
         if self.pab is not None:
             denoise_raw = self._denoise_raw_pab(
                 num_steps, scheduler, guidance, latent_shape, self.pab
@@ -829,7 +895,8 @@ class VideoDiffusionPipeline:
             )
         else:
             denoise_raw = self._denoise_raw(
-                scheduler, guidance, latent_shape, num_steps=num_steps
+                scheduler, guidance, latent_shape, num_steps=num_steps,
+                t_start=t_start, encode_fn=encode_fn,
             )
 
         if chunk is None:
@@ -837,9 +904,10 @@ class VideoDiffusionPipeline:
         else:
             decode_raw = self._decode_composable(chunk, decode_opts or {})
 
-            def generate(params, key, cond, guidance_scale, tables, n=None):
+            def generate(params, key, cond, guidance_scale, tables, n=None,
+                         video=None):
                 latents = denoise_raw(params, key, cond, guidance_scale,
-                                      tables, n)
+                                      tables, n, video)
                 return latents, decode_raw(params, latents)
 
             fn = jax.jit(generate)
@@ -863,7 +931,8 @@ class VideoDiffusionPipeline:
     def _run_generate(self, *, cond, guidance_arr, guidance: bool,
                       latent_shape, scheduler: str, num_inference_steps: int,
                       seed, decode_chunk: int, decode_opts=None,
-                      output_type: str = "np", latent_only: bool = False):
+                      output_type: str = "np", latent_only: bool = False,
+                      video=None, t_start: int = 0):
         """The family-independent request path: resolve chunking/sharding,
         pick static vs variable program, dispatch, postprocess."""
         B, num_frames = latent_shape[0], latent_shape[1]
@@ -877,9 +946,11 @@ class VideoDiffusionPipeline:
         while local_frames % chunk:
             chunk -= 1
 
+        v2v = video is not None
         use_var = (
             self.variable_steps > 0
             and self.pab is None
+            and not v2v  # v2v programs are static per (steps, t_start)
             and not scheduler.startswith("dpm")
             and num_inference_steps <= self.variable_steps
         )
@@ -890,6 +961,8 @@ class VideoDiffusionPipeline:
             num_steps=num_inference_steps,
             chunk=None if latent_only else chunk,
             decode_opts=decode_opts, variable=use_var,
+            t_start=t_start if v2v else 0,
+            encode_chunk=chunk if v2v else None,
         )
         tables = self._get_tables(
             scheduler, num_inference_steps,
@@ -898,10 +971,11 @@ class VideoDiffusionPipeline:
         args = (self.params, key_arr, cond, guidance_arr, tables)
         if use_var:
             args = args + (jnp.int32(num_inference_steps),)
+        kwargs = {"video": video} if v2v else {}
         if latent_only:
-            latents = prog(*args)
+            latents = prog(*args, **kwargs)
             return PipelineOutput(frames=[], latents=latents)
-        latents, frames_u8 = prog(*args)
+        latents, frames_u8 = prog(*args, **kwargs)
         if output_type == "device":
             # Async surface: frames stay on device ([B, F, H, W, 3] uint8)
             # and the call returns as soon as the program is enqueued (JAX
@@ -955,13 +1029,50 @@ class VideoDiffusionPipeline:
         scheduler: Optional[str] = None,
         output_type: str = "pil",
         decode_chunk: int = 8,
+        video=None,
+        strength: float = 0.8,
     ) -> PipelineOutput:
+        """Text-to-video; pass ``video`` for video2video (SDEdit): the
+        input clip ([F, H, W, 3] or [B, F, H, W, 3], uint8 or float in
+        [-1, 1]) is VAE-encoded in-program, forward-diffused to
+        ``strength`` of the schedule, and denoised over the remaining
+        steps under the prompt — the capability analogue of diffusers'
+        AnimateDiffVideoToVideoPipeline on the same compiled core.
+        ``num_frames``/``height``/``width`` derive from the video."""
         assert self.params is not None, "load or init params first"
         scheduler = scheduler or self.scheduler
+        t_start = 0
+        if video is not None:
+            if self.pab is not None:
+                raise ValueError("video2video does not compose with PAB")
+            if scheduler.startswith("dpm"):
+                raise ValueError(
+                    "video2video supports ddim/euler/edm samplers "
+                    "(dpm's multistep state assumes a full trajectory)"
+                )
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            video = np.asarray(video)
+            if video.ndim == 4:
+                video = video[None]
+            if video.dtype == np.uint8:
+                video = video.astype(np.float32) / 127.5 - 1.0
+            video = jnp.asarray(video, jnp.float32)
+            _, num_frames, height, width = video.shape[:4]
+            # SDEdit truncation: keep ceil-to-1 so strength>0 always denoises
+            init_steps = min(
+                max(int(num_inference_steps * strength), 1),
+                num_inference_steps,
+            )
+            t_start = num_inference_steps - init_steps
         ds = self.vae.config.downscale
         h, w = height // ds, width // ds
         guidance = self.guidance_always or float(np.max(guidance_scale)) > 1.0
         B = 1 if isinstance(prompt, str) else len(prompt)
+        if video is not None and video.shape[0] != B:
+            raise ValueError(
+                f"video batch {video.shape[0]} != prompt batch {B}"
+            )
 
         context = self.encode_prompt(prompt, negative_prompt)  # [2B, 77, D]
         if not guidance:
@@ -974,6 +1085,7 @@ class VideoDiffusionPipeline:
             num_inference_steps=num_inference_steps, seed=seed,
             decode_chunk=decode_chunk, output_type=output_type,
             latent_only=(output_type == "latent"),
+            video=video, t_start=t_start,
         )
 
 

@@ -111,3 +111,18 @@ def add_noise(
     acp = jnp.asarray(make_alphas_cumprod(cfg.schedule))
     a = acp[timestep]
     return jnp.sqrt(a) * original + jnp.sqrt(1.0 - a) * noise
+
+
+def add_noise_at(
+    original: jnp.ndarray,
+    noise: jnp.ndarray,
+    step_index,
+    tables: DDIMTables,
+) -> jnp.ndarray:
+    """``add_noise`` indexed by inference step (the video2video entry
+    point): diffuse clean latents to the step_index-th table node."""
+    a = tables.alpha_prod_t[step_index]
+    return (
+        jnp.sqrt(a) * original.astype(jnp.float32)
+        + jnp.sqrt(1.0 - a) * noise.astype(jnp.float32)
+    )

@@ -61,6 +61,18 @@ def scale_model_input(sample: jnp.ndarray, step_index, tables: EDMTables) -> jnp
     return (sample.astype(jnp.float32) / jnp.sqrt(sigma**2 + 1.0)).astype(sample.dtype)
 
 
+def add_noise_at(
+    original: jnp.ndarray,
+    noise: jnp.ndarray,
+    step_index,
+    tables: EDMTables,
+) -> jnp.ndarray:
+    """Forward-diffuse clean latents to the step_index-th sigma node
+    (video2video entry point; EDM latents live at natural scale)."""
+    sigma = tables.sigmas[step_index]
+    return (original.astype(jnp.float32) + sigma * noise.astype(jnp.float32))
+
+
 def denoised_from_model_output(
     sample: jnp.ndarray, model_output: jnp.ndarray, sigma, cfg: EDMConfig = EDMConfig()
 ) -> jnp.ndarray:

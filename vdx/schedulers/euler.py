@@ -71,6 +71,19 @@ def scale_model_input(sample: jnp.ndarray, step_index, tables: EulerTables) -> j
     return (sample.astype(jnp.float32) / jnp.sqrt(sigma**2 + 1.0)).astype(sample.dtype)
 
 
+def add_noise_at(
+    original: jnp.ndarray,
+    noise: jnp.ndarray,
+    step_index,
+    tables: EulerTables,
+) -> jnp.ndarray:
+    """Forward-diffuse clean latents to the step_index-th sigma node —
+    the video2video entry point (the trajectory then continues from that
+    node exactly as if it had been denoised down to it)."""
+    sigma = tables.sigmas[step_index]
+    return (original.astype(jnp.float32) + sigma * noise.astype(jnp.float32))
+
+
 def step(
     sample: jnp.ndarray,
     model_output: jnp.ndarray,
