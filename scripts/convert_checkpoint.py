@@ -24,6 +24,13 @@ Families and their components (--list-components prints this):
 
 The output directory loads back with ``pipe.load_checkpoint(out)`` or the
 experiment CLIs' checkpoint flag.
+
+LoRA adapters convert separately (peft / old-diffusers / kohya formats):
+
+  python scripts/convert_checkpoint.py --family animatediff \
+      --lora unet=motion_lora.safetensors --lora-out ckpts/zoom_in
+
+and load at runtime with ``pipe.load_lora(load_params(out), scale=s)``.
 """
 
 from __future__ import annotations
@@ -102,6 +109,11 @@ def main(argv=None) -> int:
     p.add_argument("--no-strict", action="store_true",
                    help="allow missing components/keys (kept at init)")
     p.add_argument("--list-components", action="store_true")
+    p.add_argument("--lora", metavar="[COMPONENT=]PATH",
+                   help="convert a torch LoRA safetensors (peft/diffusers/"
+                        "kohya formats) to a vdx adapter instead of a full "
+                        "checkpoint; component defaults to the denoiser")
+    p.add_argument("--lora-out", help="output directory for --lora")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -117,6 +129,36 @@ def main(argv=None) -> int:
         for comp, (rules, allowed) in sorted(pipe._conversion_rules().items()):
             note = f" ({len(allowed)} documented-uncovered leaves)" if allowed else ""
             print(f"{comp}: {len(rules)} mapped leaves{note}")
+        return 0
+
+    if args.lora:
+        if not args.lora_out:
+            p.error("--lora requires --lora-out")
+        import jax
+
+        from vdx.core.checkpoint import save_params
+        from vdx.core.convert import load_safetensors
+        from vdx.core.lora import convert_lora_checkpoint
+
+        comp, _, path = args.lora.partition("=")
+        if not path:
+            comp, path = pipe.denoiser_param_key, comp
+        calls = pipe._init_calls(0)
+        if comp not in calls:
+            p.error(f"unknown component {comp!r}; takes {sorted(calls)}")
+        fn, fn_args = calls[comp]
+        template = jax.eval_shape(fn, *fn_args)  # shapes only, no init
+        rules, _ = pipe._conversion_rules()[comp]
+        lora, report = convert_lora_checkpoint(
+            load_safetensors(path), template, rules,
+            strict=not args.no_strict,
+        )
+        print(f"lora[{comp}]: {len(report['converted'])} sites converted, "
+              f"{len(report['skipped'])} targets without lora keys, "
+              f"{len(report['unused_lora_keys'])} unused lora keys")
+        save_params(lora, Path(args.lora_out).resolve())
+        print(f"saved adapter: {args.lora_out} "
+              f"(load with pipe.load_lora(core.checkpoint.load_params(...)))")
         return 0
 
     if not args.src or not args.out:

@@ -395,3 +395,79 @@ class TestPipelineSurface:
             tiny_pipe.unload_lora()
         with pytest.raises(ValueError, match="no LoRA active"):
             tiny_pipe.set_lora_scale(0.5)
+
+
+class TestConversionCLI:
+    def test_lora_cli_roundtrip(self, tiny_pipe, tmp_path):
+        """scripts/convert_checkpoint.py --lora: torch safetensors ->
+        Orbax adapter -> load_params -> pipe.load_lora changes the output."""
+        import importlib.util
+        from pathlib import Path as _P
+
+        from safetensors.numpy import save_file
+
+        from vdx.core.checkpoint import load_params
+        from vdx.core.convert import flatten_params
+
+        spec = importlib.util.spec_from_file_location(
+            "convert_checkpoint",
+            _P(__file__).resolve().parents[1]
+            / "scripts" / "convert_checkpoint.py",
+        )
+        cli = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(cli)
+
+        rules = unet_motion_rules(tiny_pipe.unet.config)
+        flat = flatten_params(tiny_pipe.params["unet"])
+        rng = np.random.default_rng(8)
+        sd = {}
+        for p in target_paths(tiny_pipe.params["unet"])[:3]:
+            d_in, d_out = flat[p].shape
+            stem = rules[p][0][: -len(".weight")]
+            sd[f"{stem}.lora_A.weight"] = (
+                rng.standard_normal((2, d_in)).astype(np.float32) * 0.3
+            )
+            sd[f"{stem}.lora_B.weight"] = (
+                rng.standard_normal((d_out, 2)).astype(np.float32) * 0.3
+            )
+        src = tmp_path / "motion_lora.safetensors"
+        save_file(sd, str(src))
+
+        out = tmp_path / "adapter"
+        assert cli.main([
+            "--family", "animatediff", "--tiny", "--dtype", "fp32",
+            "--lora", f"unet={src}", "--lora-out", str(out),
+        ]) == 0
+
+        adapter = load_params(out)
+        assert len(adapter) == 3
+        base = tiny_pipe("portrait", **GEN).frames[0]
+        tiny_pipe.load_lora(adapter, scale=1.0)
+        assert not np.array_equal(base, tiny_pipe("portrait", **GEN).frames[0])
+        tiny_pipe.unload_lora()
+        np.testing.assert_array_equal(
+            base, tiny_pipe("portrait", **GEN).frames[0]
+        )
+
+
+def test_convert_rejects_misshaped_factors():
+    """Factors that don't factor their target kernel are shape-checked."""
+    cfg = UNetMotionConfig.tiny()
+    model = UNetMotion(cfg, policy=FP32_POLICY)
+    params = fast_init(
+        model, jnp.zeros((1, 2, 8, 8, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 7, cfg.cross_attention_dim)), seed=0,
+    )
+    rules = unet_motion_rules(cfg)
+    p = target_paths(params)[0]
+    stem = rules[p][0][: -len(".weight")]
+    sd = {
+        f"{stem}.lora_A.weight": np.zeros((2, 999), np.float32),
+        f"{stem}.lora_B.weight": np.zeros((999, 2), np.float32),
+    }
+    with pytest.raises(ValueError, match="do not factor"):
+        convert_lora_checkpoint(sd, params, rules)
+    with pytest.raises(ValueError, match="no LoRA site"):
+        # non-strict: the site is skipped, leaving nothing converted
+        convert_lora_checkpoint(sd, params, rules, strict=False)

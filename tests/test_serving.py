@@ -294,3 +294,64 @@ class TestImg2VidService:
         with pytest.raises(urllib.error.HTTPError) as exc:
             urllib.request.urlopen(req, timeout=60)
         assert exc.value.code == 404
+
+
+class TestVideoToVideoServing:
+    def _clip_b64(self, frames=2, hw=64, seed=0):
+        from PIL import Image
+
+        rng = np.random.default_rng(seed)
+        clip = rng.integers(0, 256, (frames, hw, hw, 3), dtype=np.uint8)
+        out = []
+        for f in clip:
+            buf = io.BytesIO()
+            Image.fromarray(f).save(buf, format="PNG")
+            out.append(base64.b64encode(buf.getvalue()).decode("ascii"))
+        return out
+
+    def test_v2v_route_roundtrip(self, server):
+        payload = {"prompt": "a watercolor corgi", "seed": 3,
+                   "video": self._clip_b64(), "strength": 0.5,
+                   "num_inference_steps": 2}
+        a = _post(server, "/v2v", payload)
+        assert a["num_frames"] == 2  # geometry derives from the clip
+        b = _post(server, "/v2v", payload)
+        assert a["frames"] == b["frames"]  # seeded determinism
+        # strength changes the result
+        c = _post(server, "/v2v", {**payload, "strength": 1.0})
+        assert c["frames"] != a["frames"]
+
+    def test_generate_route_also_accepts_video(self, server):
+        payload = {"prompt": "a watercolor corgi", "seed": 3,
+                   "video": self._clip_b64(), "strength": 0.5,
+                   "num_inference_steps": 2}
+        via_v2v = _post(server, "/v2v", payload)
+        via_gen = _post(server, "/generate", payload)
+        assert via_v2v["frames"] == via_gen["frames"]
+
+    def test_v2v_requires_video(self, server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/v2v",
+            data=json.dumps({"prompt": "x"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+    def test_batching_service_runs_v2v_single_flight(self, pipe):
+        from vdx.serving.server import BatchingGenerationService
+
+        svc = BatchingGenerationService(
+            pipe,
+            defaults={"num_frames": 2, "num_inference_steps": 2,
+                      "height": 64, "width": 64},
+            autostart=False,  # no worker: a queued path would hang here
+        )
+        resp = svc.generate({"prompt": "a corgi", "seed": 1,
+                             "video": self._clip_b64(seed=2),
+                             "strength": 0.5, "num_inference_steps": 2})
+        assert resp["num_frames"] == 2
+        assert svc.batches_run == 0  # bypassed the batch machinery

@@ -217,13 +217,18 @@ def convert_lora_checkpoint(
     loud-failure contract of core/convert.py.
 
     Returns (lora_tree, report) with report keys ``converted``,
-    ``skipped``, ``unused_lora_keys``.
+    ``skipped``, ``shape_errors``, ``unused_lora_keys``. Factors whose
+    shapes do not actually factor their target kernel are rejected
+    (raise under strict, reported and skipped otherwise).
     """
     sd = _strip_prefix(dict(state_dict))
+    leaves, _ = jax.tree_util.tree_flatten_with_path(template_params)
+    flat_leaves = [leaf for _, leaf in leaves]
+    leaf_idx = _leaf_paths(template_params)
     paths = target_paths(template_params, targets)
     tree: dict = {}
     used: set = set()
-    skipped = []
+    skipped, shape_errors = [], []
     for p in paths:
         if p not in base_rules:
             skipped.append(f"{p} (no base rule)")
@@ -235,12 +240,19 @@ def convert_lora_checkpoint(
                 A = np.asarray(sd[a_key], np.float32)   # [r, in]
                 B = np.asarray(sd[b_key], np.float32)   # [out, r]
                 r = A.shape[0]
-                alpha = float(np.asarray(sd[alpha_key])) if (
-                    alpha_key is not None and alpha_key in sd
-                ) else float(r)
+                d_in, d_out = flat_leaves[leaf_idx[p]].shape
                 used.update({a_key, b_key})
                 if alpha_key is not None and alpha_key in sd:
                     used.add(alpha_key)
+                if A.shape != (r, d_in) or B.shape != (d_out, r):
+                    shape_errors.append(
+                        f"{p}: A {A.shape} / B {B.shape} do not factor "
+                        f"the [{d_in}, {d_out}] kernel"
+                    )
+                    break
+                alpha = float(np.asarray(sd[alpha_key])) if (
+                    alpha_key is not None and alpha_key in sd
+                ) else float(r)
                 site = {
                     "a": jnp.asarray(A.T * (alpha / r)),
                     "b": jnp.asarray(B.T),
@@ -257,8 +269,14 @@ def convert_lora_checkpoint(
     report = {
         "converted": sorted(tree),
         "skipped": skipped,
+        "shape_errors": shape_errors,
         "unused_lora_keys": unused,
     }
+    if strict and shape_errors:
+        raise ValueError(
+            "LoRA factor shapes do not match their target kernels:\n"
+            + "\n".join(shape_errors[:10])
+        )
     if not tree:
         raise ValueError(
             "no LoRA site in the checkpoint matched any target kernel — "

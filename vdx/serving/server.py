@@ -12,6 +12,8 @@ production deployment and serving"). Design:
       POST /generate {prompt, negative_prompt?, num_frames?, steps?,
                       guidance_scale?, height?, width?, seed?}
         -> {frames: [base64 PNG, ...], timings: {...}}
+      POST /v2v {prompt, video: [base64 PNG, ...], strength?, ...}
+        -> same payload (video2video; geometry derives from the clip)
       GET /healthz -> {status, device, requests_served}
 
 No external web framework — zero-dependency stdlib, matching the bare-image
@@ -61,11 +63,31 @@ class GenerationService:
         self.total_seconds = 0.0
 
     def generate(self, request: dict) -> dict:
+        return self._generate_single(request)
+
+    def _generate_single(self, request: dict) -> dict:
+        """One pipeline call under the device lock. With a ``video`` field
+        (list of base64 PNG frames) the call runs video2video: the clip is
+        decoded host-side and restyled under the prompt at ``strength``
+        (geometry then derives from the clip, so those keys drop)."""
         prompt = request["prompt"]
         kwargs = {
             k: request.get(k, v)
             for k, v in self.defaults.items()
         }
+        if "video" in request:
+            from PIL import Image
+
+            clip = np.stack([
+                np.asarray(
+                    Image.open(io.BytesIO(base64.b64decode(b))).convert("RGB")
+                )
+                for b in request["video"]
+            ])
+            kwargs["video"] = clip
+            kwargs["strength"] = float(request.get("strength", 0.8))
+            for k in ("num_frames", "height", "width"):
+                kwargs.pop(k, None)
         seed = int(request.get("seed", 0))
         t0 = time.time()
         with self._lock:  # one program on the chip at a time
@@ -193,6 +215,10 @@ class BatchingGenerationService(GenerationService):
 
     # -- public ---------------------------------------------------------
     def generate(self, request: dict) -> dict:
+        if "video" in request:
+            # video2video requests carry per-request geometry and an input
+            # clip — they run single-flight, never stacked into a batch
+            return self._generate_single(request)
         slot = {"request": request, "event": threading.Event(),
                 "result": None, "error": None}
         with self._cv:
@@ -342,7 +368,7 @@ class GenerationServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path == "/generate":
+                if self.path in ("/generate", "/v2v"):
                     target = svc
                 elif self.path == "/img2vid" and i2v is not None:
                     target = i2v
@@ -352,6 +378,13 @@ class GenerationServer:
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     request = json.loads(self.rfile.read(n))
+                    if self.path == "/v2v" and "video" not in request:
+                        self._reply(
+                            400,
+                            {"error": "/v2v requires a 'video' field "
+                                      "(list of base64 PNG frames)"},
+                        )
+                        return
                     self._reply(200, target.generate(request))
                 except Exception as e:  # noqa: BLE001 — error surface to client
                     self._reply(500, {"error": f"{type(e).__name__}: {e}"})
