@@ -6,9 +6,13 @@ the single-chip datapoint (round 1: 63.4 s) with the current kernel stack.
 Methodology per PERF.md: fresh image per timed run, host materialisation,
 compile excluded (first call), bf16 production config.
 
-Usage: python -u scripts/bench_svd_northstar.py [runs] [pab]
-  optional 2nd arg "pab" measures the PAB turbo schedule (PABConfig()
-  default 2/4/6) instead of exact mode.
+Usage: python -u scripts/bench_svd_northstar.py [runs] [pab|skip[:thr]]
+  optional 2nd arg "pab" measures the PAB turbo schedule (temporal-only —
+  the all-sites cache OOMs at this resolution) instead of exact mode;
+  "skip" / "skip:0.12" measures the adaptive step-skip turbo mode (whole
+  model evaluations reused under the drift threshold — carry is 2 extra
+  fp32 latent buffers, no attention cache, so it FITS at 576x1024 where
+  all-sites PAB cannot).
 """
 
 import sys
@@ -33,9 +37,10 @@ def main():
     from vdx.pipelines.svd import SVDImg2VidPipeline
 
     enable_compilation_cache()
-    use_pab = len(sys.argv) > 2 and sys.argv[2] == "pab"
-    pab = None
-    if use_pab:
+    mode = sys.argv[2] if len(sys.argv) > 2 else "exact"
+    pab = skip = None
+    n_evals = []
+    if mode == "pab":
         from vdx.pipelines.base import PABConfig
 
         # Temporal-only broadcast: at 576x1024 the all-sites cache is
@@ -45,7 +50,12 @@ def main():
         # share (PERF.md round-3 attribution).
         pab = PABConfig(spatial_interval=1, temporal_interval=4,
                         cross_interval=1)
-    print("backend:", jax.default_backend(), "pab:", use_pab, flush=True)
+    elif mode.startswith("skip"):
+        from vdx.pipelines.base import SkipConfig
+
+        thr = float(mode.split(":")[1]) if ":" in mode else 0.12
+        skip = SkipConfig(threshold=thr, warmup_steps=3, cooldown_steps=3)
+    print("backend:", jax.default_backend(), "mode:", mode, flush=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
     pipe = SVDImg2VidPipeline.with_random_params(
@@ -55,6 +65,8 @@ def main():
         vision_config=CLIPVisionConfig.vit_h(),
         policy=policy,
         pab=pab,
+        skip=skip,
+        progress=(lambda i, n: n_evals.append(i)) if skip else None,
     )
     print(f"init: {time.time() - t0:.1f} s", flush=True)
 
@@ -71,11 +83,13 @@ def main():
     times = []
     for i in range(1, runs + 1):
         img = fresh(i)
+        n_evals.clear()
         t0 = time.time()
         out = pipe(img, **kw)
         assert out.frames[0].dtype == np.uint8
         times.append(time.time() - t0)
-        print(f"run {i}: {times[-1]:.1f} s", flush=True)
+        extra = f" ({len(n_evals)}/25 evals)" if skip else ""
+        print(f"run {i}: {times[-1]:.1f} s{extra}", flush=True)
     best = min(times)
     print(f"BEST: {best:.1f} s/video single-chip "
           f"({25 / best:.2f} frames/s; 8-chip linear projection "

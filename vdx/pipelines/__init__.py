@@ -1,6 +1,8 @@
 from vdx.pipelines.base import (
     AnimateDiffPipeline,
+    PABConfig,
     PipelineOutput,
+    SkipConfig,
     VideoDiffusionPipeline,
 )
 from vdx.pipelines.cogvideox import CogVideoXPipeline
@@ -10,7 +12,9 @@ from vdx.pipelines.text_to_video_ms import TextToVideoMSPipeline
 
 __all__ = [
     "AnimateDiffPipeline",
+    "PABConfig",
     "PipelineOutput",
+    "SkipConfig",
     "VideoDiffusionPipeline",
     "CogVideoXPipeline",
     "LattePipeline",

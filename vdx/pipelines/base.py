@@ -52,7 +52,7 @@ from vdx.models.tokenizer import load_tokenizer
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.models.vae import AutoencoderKL, VAEConfig
 from vdx.schedulers import get_sampler
-from vdx.schedulers.common import pad_tables
+from vdx.schedulers.common import cfg_combine, pad_tables
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +73,37 @@ class PABConfig:
     joint_interval: int = 2
     warmup_steps: int = 2
     cooldown_steps: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SkipConfig:
+    """Adaptive whole-step model-output reuse (TeaCache-class turbo mode).
+
+    The denoiser's output drifts slowly over stretches of the trajectory;
+    instead of re-evaluating the 1.3B-param model every step, accumulate the
+    relative L1 change of the (sampler-scaled) latents between steps and only
+    re-evaluate once the accumulated change crosses ``threshold`` — otherwise
+    reuse the previous model output. Unlike PAB's fixed broadcast intervals,
+    the skip pattern is *input-adaptive*: fast-moving trajectories re-evaluate
+    more. Runs INSIDE the denoise scan via ``lax.cond`` (a skipped step never
+    executes the model branch), so the one-program invariant holds.
+
+    ``threshold=0`` forces an eval every step (bit-exact vs the plain
+    program — tested). Warm-up/cool-down steps always evaluate: the
+    trajectory moves fastest at both ends of the schedule.
+    """
+
+    #: accumulated relative-L1 latent change that triggers a re-eval
+    threshold: float = 0.08
+    warmup_steps: int = 3
+    cooldown_steps: int = 3
+
+    def __post_init__(self):
+        # step 0 has no previous output to reuse — it must evaluate
+        if self.warmup_steps < 1:
+            raise ValueError("skip turbo mode needs warmup_steps >= 1")
+        if self.threshold < 0:
+            raise ValueError("threshold must be >= 0")
 
 
 @dataclasses.dataclass
@@ -109,11 +140,13 @@ class VideoDiffusionPipeline:
         scheduler: str = "euler",
         attn_impl: str = "auto",
         pab: "PABConfig | None" = None,
+        skip: "SkipConfig | None" = None,
         frame_shards: int = 1,
         seq_impl: str = "ulysses",
         mesh=None,
         variable_steps: int = 0,
         progress: Optional[Callable[[int, int], None]] = None,
+        guidance_rescale: float = 0.0,
     ):
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
@@ -126,19 +159,29 @@ class VideoDiffusionPipeline:
         self.params = params
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
+            attn_impl=attn_impl, pab=pab, skip=skip, frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
-            progress=progress,
+            progress=progress, guidance_rescale=guidance_rescale,
         )
 
     def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
                    pab, frame_shards, mesh, variable_steps, progress,
-                   seq_impl="ulysses"):
+                   seq_impl="ulysses", skip=None, guidance_rescale=0.0):
         """Shared compiled-machinery state — called by every family's
         ``__init__`` after it builds its components."""
         self.policy = policy
         self.scheduler = scheduler
         self.pab = pab
+        if pab is not None and skip is not None:
+            raise ValueError(
+                "pab and skip are both turbo modes with their own denoise "
+                "programs — pick one"
+            )
+        self.skip = skip
+        # CFG std-rescale (Lin et al. overexposure fix) — a deployment-level
+        # constant baked into the denoise program (schedulers.common.
+        # cfg_combine); 0.0 = plain CFG, the reference's behaviour
+        self.guidance_rescale = float(guidance_rescale)
         # variable_steps=N > 0: compile ONE step-count-agnostic generate
         # program (padded tables + lax.cond-skipped steps, max N steps)
         # instead of one program per step count — the right mode for
@@ -569,9 +612,16 @@ class VideoDiffusionPipeline:
         sampler = get_sampler(scheduler)
         is_dpm = scheduler.startswith("dpm")
         variable = max_steps > 0
+        skip = self.skip
         if variable:
             assert not is_dpm, "dpm multistep carries state across steps"
             assert self.pab is None, "PAB program is per-step-count"
+            assert skip is None, "skip programs are static per step count"
+        if skip is not None:
+            assert not is_dpm, (
+                "skip turbo mode supports ddim/euler/edm samplers (dpm's "
+                "multistep state assumes every step was evaluated)"
+            )
         v2v = encode_fn is not None
         if v2v:
             assert not variable and not is_dpm, (
@@ -602,7 +652,7 @@ class VideoDiffusionPipeline:
                 )
             n_total = n if variable else num_steps
 
-            def real_step(lat, i, prev_x0=None):
+            def eval_eps(lat, i):
                 model_in = (
                     jnp.concatenate([lat, lat], axis=0) if guidance else lat
                 )
@@ -617,14 +667,58 @@ class VideoDiffusionPipeline:
                 eps = unet_apply(params[dkey], model_in, t_b, *prep["den_args"])
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
-                    eps = u + guidance_scale * (c - u)
+                    eps = cfg_combine(u, c, guidance_scale,
+                                      self.guidance_rescale)
                 if progress:
+                    # fires per MODEL EVALUATION — under skip turbo mode a
+                    # broadcast step never enters this branch, so the
+                    # callback count == eval count (tested)
                     jax.debug.callback(
                         self._emit_progress, i, n_total, ordered=False
                     )
+                return eps
+
+            def real_step(lat, i, prev_x0=None):
+                eps = eval_eps(lat, i)
                 if is_dpm:
                     return sampler.step_multistep(lat, eps, i, prev_x0, tables)
                 return sampler.step(lat, eps, i, tables)
+
+            if skip is not None:
+                thresh = jnp.float32(skip.threshold)
+
+                def body(carry, i):
+                    lat, prev_eps, prev_sig, accum = carry
+                    # trajectory-change signal: relative L1 drift of the
+                    # sampler-scaled latents since the last evaluated step
+                    sig = sampler.scale_model_input(lat, i, tables).astype(
+                        jnp.float32
+                    )
+                    rel = jnp.mean(jnp.abs(sig - prev_sig)) / (
+                        jnp.mean(jnp.abs(prev_sig)) + 1e-8
+                    )
+                    accum = accum + rel
+                    forced = jnp.logical_or(
+                        i < t_start + skip.warmup_steps,
+                        i >= num_steps - skip.cooldown_steps,
+                    )
+                    do_eval = jnp.logical_or(forced, accum >= thresh)
+                    eps = jax.lax.cond(
+                        do_eval,
+                        lambda l: eval_eps(l, i).astype(jnp.float32),
+                        lambda l: prev_eps,
+                        lat,
+                    )
+                    accum = jnp.where(do_eval, jnp.float32(0.0), accum)
+                    lat = sampler.step(lat, eps, i, tables)
+                    return (lat, eps, sig, accum), None
+
+                zeros = jnp.zeros(latents.shape, jnp.float32)
+                (out, _, _, _), _ = jax.lax.scan(
+                    body, (latents, zeros, zeros, jnp.float32(0.0)),
+                    jnp.arange(t_start, num_steps),
+                )
+                return out
 
             if is_dpm:
                 def body(carry, i):
@@ -814,7 +908,8 @@ class VideoDiffusionPipeline:
                         )
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
-                    eps = u + guidance_scale * (c - u)
+                    eps = cfg_combine(u, c, guidance_scale,
+                                      self.guidance_rescale)
                 return sampler.step(lat, eps, i, tables), new_cache
 
             # step 0: creates the cache collection
@@ -876,7 +971,9 @@ class VideoDiffusionPipeline:
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
                self.pab is not None, self.progress_callback is not None,
-               t_start, encode_chunk)
+               t_start, encode_chunk,
+               dataclasses.astuple(self.skip) if self.skip else None,
+               self.guidance_rescale)
         if key in self._compiled:
             return self._compiled[key]
 
@@ -947,9 +1044,15 @@ class VideoDiffusionPipeline:
             chunk -= 1
 
         v2v = video is not None
+        if self.skip is not None and scheduler.startswith("dpm"):
+            raise ValueError(
+                "skip turbo mode supports ddim/euler/edm samplers (dpm's "
+                "multistep state assumes every step was evaluated)"
+            )
         use_var = (
             self.variable_steps > 0
             and self.pab is None
+            and self.skip is None  # skip programs are static per step count
             and not v2v  # v2v programs are static per (steps, t_start)
             and not scheduler.startswith("dpm")
             and num_inference_steps <= self.variable_steps

@@ -57,11 +57,13 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         scheduler: str = "ddim",
         attn_impl: str = "auto",
         pab=None,  # PABConfig: joint-attention broadcast turbo mode
+        skip=None,  # SkipConfig: adaptive step-skip turbo mode
         variable_steps: int = 0,
         frame_shards: int = 1,
         mesh=None,
         progress=None,
         offload_text_encoder: bool = False,
+        guidance_rescale: float = 0.0,
     ):
         self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl,
                                 pab=pab is not None)
@@ -85,8 +87,10 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         self._text_cache: dict = {}
         self._init_core(
             dit_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
+            attn_impl=attn_impl, pab=pab, skip=skip,
+            frame_shards=frame_shards,
             mesh=mesh, variable_steps=variable_steps, progress=progress,
+            guidance_rescale=guidance_rescale,
         )
 
     # ------------------------------------------------------------------

@@ -60,11 +60,13 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         attn_impl: str = "auto",
         scheduler: str = "edm",
         pab=None,
+        skip=None,
         frame_shards: int = 1,
         seq_impl: str = "ulysses",
         mesh=None,
         variable_steps: int = 0,
         progress=None,
+        guidance_rescale: float = 0.0,
     ):
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
@@ -76,9 +78,10 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         self.params = params
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=pab, frame_shards=frame_shards,
+            attn_impl=attn_impl, pab=pab, skip=skip,
+            frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
-            progress=progress,
+            progress=progress, guidance_rescale=guidance_rescale,
         )
 
     # ------------------------------------------------------------------

@@ -89,6 +89,34 @@ def timesteps_trailing(num_train: int, num_steps: int) -> np.ndarray:
     return ts.copy()
 
 
+def cfg_combine(
+    uncond: jnp.ndarray,
+    cond: jnp.ndarray,
+    guidance_scale,
+    guidance_rescale: float = 0.0,
+) -> jnp.ndarray:
+    """Classifier-free-guidance combine with optional std rescale.
+
+    ``uncond + s * (cond - uncond)`` (reference docs/01:184), then — when
+    ``guidance_rescale`` phi > 0 — the overexposure fix of Lin et al.
+    ("Common Diffusion Noise Schedules and Sample Steps are Flawed",
+    eq. 15-16): per-sample std of the guided output is matched back to the
+    cond branch's std, blended by phi. Stats run in fp32 over all
+    non-batch axes; phi is a Python float baked into the program (one
+    compile per deployment value, like the sampler choice).
+    """
+    guided = uncond + guidance_scale * (cond - uncond)
+    if not guidance_rescale:
+        return guided
+    axes = tuple(range(1, guided.ndim))
+    g32 = guided.astype(jnp.float32)
+    std_cond = jnp.std(cond.astype(jnp.float32), axis=axes, keepdims=True)
+    std_g = jnp.std(g32, axis=axes, keepdims=True)
+    rescaled = g32 * (std_cond / jnp.maximum(std_g, 1e-8))
+    out = guidance_rescale * rescaled + (1.0 - guidance_rescale) * g32
+    return out.astype(guided.dtype)
+
+
 def pred_x0_and_eps(
     sample: jnp.ndarray,
     model_output: jnp.ndarray,
