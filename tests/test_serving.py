@@ -355,3 +355,121 @@ class TestVideoToVideoServing:
                              "strength": 0.5, "num_inference_steps": 2})
         assert resp["num_frames"] == 2
         assert svc.batches_run == 0  # bypassed the batch machinery
+
+
+class TestJobsAPI:
+    """Async job surface: submit -> poll status (with per-step progress from
+    inside the fused scan via ProgressRelay) -> fetch result."""
+
+    @pytest.fixture(scope="class")
+    def job_server(self):
+        import time as _time
+
+        from vdx.serving.server import ProgressRelay
+
+        relay = ProgressRelay()
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            scheduler="ddim",
+            progress=relay,
+        )
+        svc = GenerationService(
+            pipe,
+            defaults={"num_frames": 2, "num_inference_steps": 3,
+                      "height": 64, "width": 64},
+        )
+        srv = GenerationServer(svc, port=0)
+        srv.start()
+        yield srv
+        srv.stop()
+
+    def _get(self, srv, path):
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=60
+        ) as r:
+            return r.status, json.loads(r.read())
+
+    def test_submit_poll_fetch(self, job_server):
+        import time as _time
+
+        sub = _post(job_server, "/jobs", {"prompt": "a corgi", "seed": 5})
+        job_id = sub["job_id"]
+        assert sub["status"] == "queued"
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            code, st = self._get(job_server, f"/jobs/{job_id}")
+            assert code == 200
+            if st["status"] == "done":
+                break
+            assert st["status"] in ("queued", "running")
+            _time.sleep(0.2)
+        assert st["status"] == "done", st
+        # the relay streamed per-step progress out of the compiled scan
+        assert st["progress"] == {"step": 3, "total": 3}
+        code, res = self._get(job_server, f"/jobs/{job_id}/result")
+        assert code == 200
+        # async result == synchronous route result (same service, same seed)
+        sync = _post(job_server, "/generate", {"prompt": "a corgi", "seed": 5})
+        assert res["frames"] == sync["frames"]
+
+    def test_unknown_job_404(self, job_server):
+        try:
+            self._get(job_server, "/jobs/deadbeef")
+            assert False, "expected HTTP 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+    def test_result_before_done_409(self, job_server):
+        sub = _post(job_server, "/jobs", {"prompt": "slow corgi", "seed": 6})
+        try:
+            self._get(job_server, f"/jobs/{sub['job_id']}/result")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # let it finish so the module teardown isn't racing a running job
+        import time as _time
+
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            _, st = self._get(job_server, f"/jobs/{sub['job_id']}")
+            if st["status"] in ("done", "error"):
+                break
+            _time.sleep(0.2)
+
+    def test_error_job_surfaces_via_status(self, job_server):
+        """A job that fails inside the pipeline reports status=error with
+        the message, instead of killing the worker."""
+        import time as _time
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((64, 64, 3), np.uint8)).save(buf, "PNG")
+        frame = base64.b64encode(buf.getvalue()).decode("ascii")
+        # strength > 1 fails the pipeline's validation inside the worker
+        sub = _post(job_server, "/jobs",
+                    {"prompt": "x", "video": [frame] * 2, "strength": 5.0})
+        deadline = _time.time() + 240
+        st = {}
+        while _time.time() < deadline:
+            _, st = self._get(job_server, f"/jobs/{sub['job_id']}")
+            if st["status"] in ("done", "error"):
+                break
+            _time.sleep(0.2)
+        assert st["status"] == "error"
+        assert "strength" in st["error"]
+
+    def test_submit_unknown_kind_400(self, job_server):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{job_server.port}/jobs",
+            data=json.dumps({"prompt": "x", "kind": "nope"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400

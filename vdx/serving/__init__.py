@@ -3,7 +3,10 @@ from vdx.serving.server import (
     GenerationServer,
     GenerationService,
     Img2VidService,
+    JobManager,
+    ProgressRelay,
 )
 
 __all__ = ["BatchingGenerationService", "GenerationServer",
-           "GenerationService", "Img2VidService"]
+           "GenerationService", "Img2VidService", "JobManager",
+           "ProgressRelay"]

@@ -15,6 +15,19 @@ production deployment and serving"). Design:
       POST /v2v {prompt, video: [base64 PNG, ...], strength?, ...}
         -> same payload (video2video; geometry derives from the clip)
       GET /healthz -> {status, device, requests_served}
+  * Async job API (a multi-second denoise should not hold an HTTP
+    connection open):
+      POST /jobs {kind?: "t2v"|"v2v"|"img2vid", ...request}
+        -> {job_id, status}
+      GET /jobs/{id} -> {status: queued|running|done|error,
+                         progress: {step, total}?, error?}
+      GET /jobs/{id}/result -> the same payload the sync route returns
+    Per-step progress streams out of the FUSED denoise scan when the
+    pipeline was built with ``progress=ProgressRelay()`` (the relay is a
+    stable callable traced once into the program; the job worker points it
+    at the running job — SURVEY §7e without breaking the one-program
+    invariant). Under the skip turbo mode the step counter advances only
+    on real model evaluations.
 
 No external web framework — zero-dependency stdlib, matching the bare-image
 constraint. Multi-chip scale-out = one server process per chip/slice behind
@@ -32,6 +45,23 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
+
+
+class ProgressRelay:
+    """A stable per-step callback for pipelines used in serving.
+
+    The pipeline traces ``progress`` into the compiled denoise program ONCE;
+    a relay keeps that traced object constant while letting the serving
+    layer retarget where progress goes per request (``relay.target = fn``).
+    With no target it is free (a dropped host callback)."""
+
+    def __init__(self):
+        self.target = None
+
+    def __call__(self, i: int, n: int) -> None:
+        fn = self.target
+        if fn is not None:
+            fn(int(i), int(n))
 
 
 def _png_b64(frames) -> list:
@@ -325,6 +355,101 @@ class BatchingGenerationService(GenerationService):
             s["event"].set()
 
 
+class JobManager:
+    """Async request execution: submit -> poll -> fetch.
+
+    One FIFO worker thread drains jobs (device programs single-flight per
+    chip anyway, so more workers would only queue on the service lock).
+    If a service's pipeline carries a :class:`ProgressRelay`, the worker
+    points it at the running job so GET /jobs/{id} reports live per-step
+    progress from inside the fused scan."""
+
+    MAX_JOBS = 256  # completed jobs retained for result pickup (FIFO evict)
+
+    def __init__(self, services: dict):
+        """services: kind -> GenerationService (e.g. {"t2v": svc,
+        "v2v": svc, "img2vid": i2v})."""
+        self.services = services
+        self.jobs: dict = {}
+        self._order: list = []
+        self._lock = threading.Lock()
+        self._queue: list = []
+        self._cv = threading.Condition(self._lock)
+        self._worker = threading.Thread(target=self._drain, daemon=True)
+        self._worker.start()
+
+    def submit(self, request: dict) -> dict:
+        kind = request.pop("kind", "v2v" if "video" in request else None)
+        if kind is None:
+            kind = "img2vid" if "image" in request else "t2v"
+        if kind not in self.services:
+            raise KeyError(f"no service for kind={kind!r}")
+        import uuid
+
+        job_id = uuid.uuid4().hex[:16]
+        job = {"id": job_id, "kind": kind, "status": "queued",
+               "request": request, "result": None, "error": None,
+               "progress": None, "created": time.time()}
+        with self._cv:
+            self.jobs[job_id] = job
+            self._order.append(job_id)
+            while len(self._order) > self.MAX_JOBS:
+                old = self._order.pop(0)
+                if self.jobs.get(old, {}).get("status") in ("done", "error"):
+                    self.jobs.pop(old, None)
+                else:  # never evict live jobs
+                    self._order.append(old)
+                    break
+            self._queue.append(job)
+            self._cv.notify()
+        return {"job_id": job_id, "status": "queued"}
+
+    def status(self, job_id: str) -> Optional[dict]:
+        job = self.jobs.get(job_id)
+        if job is None:
+            return None
+        out = {"job_id": job_id, "status": job["status"]}
+        if job["progress"] is not None:
+            step, total = job["progress"]
+            out["progress"] = {"step": step, "total": total}
+        if job["error"] is not None:
+            out["error"] = job["error"]
+        return out
+
+    def result(self, job_id: str) -> Optional[dict]:
+        job = self.jobs.get(job_id)
+        if job is None or job["status"] != "done":
+            return None
+        return job["result"]
+
+    def _drain(self):
+        while True:
+            with self._cv:
+                while not self._queue:
+                    self._cv.wait()
+                job = self._queue.pop(0)
+            job["status"] = "running"
+            svc = self.services[job["kind"]]
+            relay = getattr(svc.pipe, "progress_callback", None)
+            is_relay = isinstance(relay, ProgressRelay)
+            if is_relay:
+                def _on(i, n, job=job):
+                    job["progress"] = (i + 1, n)
+                relay.target = _on
+            try:
+                job["result"] = svc.generate(dict(job["request"]))
+                if job["progress"] is not None:
+                    job["progress"] = (job["progress"][1],
+                                       job["progress"][1])
+                job["status"] = "done"
+            except Exception as e:  # noqa: BLE001 — surfaced via status
+                job["error"] = f"{type(e).__name__}: {e}"
+                job["status"] = "error"
+            finally:
+                if is_relay:
+                    relay.target = None
+
+
 class GenerationServer:
     """HTTP front. ``service`` answers POST /generate (text2video);
     optional ``img2vid_service`` answers POST /img2vid (SVD)."""
@@ -340,6 +465,11 @@ class GenerationServer:
             # single-flighted per chip, and per-request timings must not
             # include another service's device time.
             i2v._lock = svc._lock
+        kinds = {"t2v": svc, "v2v": svc}
+        if i2v is not None:
+            kinds["img2vid"] = i2v
+        self.jobs = JobManager(kinds)
+        jobs = self.jobs
 
         class Handler(BaseHTTPRequestHandler):
             def log_message(self, *args):  # quiet
@@ -354,7 +484,29 @@ class GenerationServer:
                 self.wfile.write(body)
 
             def do_GET(self):
-                if self.path == "/healthz":
+                if self.path.startswith("/jobs/"):
+                    parts = self.path.strip("/").split("/")
+                    # jobs/<id> | jobs/<id>/result
+                    if len(parts) == 2:
+                        st = jobs.status(parts[1])
+                        if st is None:
+                            self._reply(404, {"error": "unknown job"})
+                        else:
+                            self._reply(200, st)
+                    elif len(parts) == 3 and parts[2] == "result":
+                        res = jobs.result(parts[1])
+                        if res is None:
+                            st = jobs.status(parts[1])
+                            if st is None:
+                                self._reply(404, {"error": "unknown job"})
+                            else:
+                                self._reply(409, {"error": "not done",
+                                                  **st})
+                        else:
+                            self._reply(200, res)
+                    else:
+                        self._reply(404, {"error": "not found"})
+                elif self.path == "/healthz":
                     h = svc.health()
                     if i2v is not None:
                         h["img2vid"] = {
@@ -368,6 +520,14 @@ class GenerationServer:
                     self._reply(404, {"error": "not found"})
 
             def do_POST(self):
+                if self.path == "/jobs":
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        request = json.loads(self.rfile.read(n))
+                        self._reply(202, jobs.submit(request))
+                    except Exception as e:  # noqa: BLE001
+                        self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+                    return
                 if self.path in ("/generate", "/v2v"):
                     target = svc
                 elif self.path == "/img2vid" and i2v is not None:
