@@ -39,7 +39,6 @@ def main():
     enable_compilation_cache()
     mode = sys.argv[2] if len(sys.argv) > 2 else "exact"
     pab = skip = None
-    n_evals = []
     if mode == "pab":
         from vdx.pipelines.base import PABConfig
 
@@ -66,7 +65,6 @@ def main():
         policy=policy,
         pab=pab,
         skip=skip,
-        progress=(lambda i, n: n_evals.append(i)) if skip else None,
     )
     print(f"init: {time.time() - t0:.1f} s", flush=True)
 
@@ -83,12 +81,11 @@ def main():
     times = []
     for i in range(1, runs + 1):
         img = fresh(i)
-        n_evals.clear()
         t0 = time.time()
         out = pipe(img, **kw)
         assert out.frames[0].dtype == np.uint8
         times.append(time.time() - t0)
-        extra = f" ({len(n_evals)}/25 evals)" if skip else ""
+        extra = f" ({int(out.n_evals)}/25 evals)" if skip else ""
         print(f"run {i}: {times[-1]:.1f} s{extra}", flush=True)
     best = min(times)
     print(f"BEST: {best:.1f} s/video single-chip "

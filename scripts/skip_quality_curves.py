@@ -3,8 +3,9 @@
 
 Same methodology as pab_quality_curves.py: for each threshold, generate the
 same seeded videos exact and with skip, time them (fresh seeds per timed
-run — tunnel methodology), count actual model evaluations through the
-progress callback (fires only inside the evaluated ``lax.cond`` branch), and
+run — tunnel methodology), read the model-evaluation count from the program
+itself (``PipelineOutput.n_evals`` — the axon tunnel rejects host callbacks,
+so the progress-counter route is CPU-only), and
 score the drift vs the exact trajectory. Weights are seeded-random: the
 skip signal (relative L1 latent drift between steps) measures the
 APPROXIMATION mechanism; absolute quality re-validates on real checkpoints.
@@ -70,21 +71,21 @@ def run_config(name):
     enable_compilation_cache()
     RUNS.mkdir(parents=True, exist_ok=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
-    evals = []
     pipe = AnimateDiffPipeline.with_random_params(
-        seed=0, policy=policy, scheduler="ddim", skip=get_config(name),
-        progress=lambda i, n: evals.append(i))
+        seed=0, policy=policy, scheduler="ddim", skip=get_config(name))
 
     times, frames, counts = [], [], []
     pipe(PROMPT, seed=999, output_type="np", **KWARGS)  # compile warmup
     for s in SEEDS:
-        evals.clear()
         t0 = time.time()
         out = pipe(PROMPT, seed=s, output_type="np", **KWARGS)
         out.frames[0][0, 0, 0, 0]
         times.append(time.time() - t0)
         frames.append(out.frames[0])
-        counts.append(len(evals))
+        counts.append(
+            int(out.n_evals) if out.n_evals is not None
+            else KWARGS["num_inference_steps"]
+        )
     np.save(RUNS / f"{name}.npy", np.stack(frames))
     rec = {"config": name, "sec_per_video": round(min(times), 3),
            "n_evals": counts, **video_metrics(frames[0])}

@@ -43,13 +43,18 @@ class TestSkip:
         )
         turbo.params = exact_pipe.params
         a = exact_pipe(PROMPT, **GEN).frames[0]
-        b = turbo(PROMPT, **GEN).frames[0]
+        out = turbo(PROMPT, **GEN)
+        b = out.frames[0]
         diff = np.abs(a.astype(int) - b.astype(int))
         assert diff.max() <= 1 and (diff > 0).mean() < 1e-3
+        # device-computed eval count: every step evaluated
+        assert int(out.n_evals) == GEN["num_inference_steps"]
 
     def test_eval_count_is_adaptive_and_observable(self, exact_pipe):
         """threshold=inf => only the forced warm-up/cool-down steps evaluate;
-        the progress callback (inside the evaluated branch) counts them."""
+        the progress callback (inside the evaluated branch) counts them, and
+        the device-computed PipelineOutput.n_evals (the backend-portable
+        counter — host callbacks don't exist on the axon tunnel) agrees."""
         evals = []
         turbo = AnimateDiffPipeline(
             skip=SkipConfig(threshold=1e30, warmup_steps=2, cooldown_steps=2),
@@ -57,8 +62,9 @@ class TestSkip:
             **KW,
         )
         turbo.params = exact_pipe.params
-        turbo(PROMPT, **GEN)
+        out = turbo(PROMPT, **GEN)
         assert sorted(evals) == [0, 1, 6, 7]
+        assert int(out.n_evals) == len(evals)
 
     def test_skips_and_tracks_trajectory(self, exact_pipe):
         evals = []
@@ -69,7 +75,8 @@ class TestSkip:
         )
         turbo.params = exact_pipe.params
         a = exact_pipe(PROMPT, **GEN).frames[0].astype(np.float64)
-        b = turbo(PROMPT, **GEN).frames[0].astype(np.float64)
+        out = turbo(PROMPT, **GEN)
+        b = out.frames[0].astype(np.float64)
         other = exact_pipe(PROMPT, **{**GEN, "seed": 99}).frames[0].astype(
             np.float64
         )
@@ -78,6 +85,7 @@ class TestSkip:
         # at most every step and track the exact trajectory far better than
         # an unrelated sample does
         n_evals = len(evals)
+        assert int(out.n_evals) == n_evals
         assert 3 <= n_evals <= GEN["num_inference_steps"]
         err_turbo = ((a - b) ** 2).mean()
         err_other = ((a - other) ** 2).mean()

@@ -29,10 +29,14 @@ The machinery every family inherits from this core:
   * ``variable_steps=N`` — ONE step-count-agnostic program per sweep
   * ``frame_shards=n`` — frame-axis sequence parallelism over a mesh
   * PAB turbo mode (denoiser-permitting)
+  * skip turbo mode (adaptive whole-step model-output reuse; eval count
+    reported device-side via ``PipelineOutput.n_evals``)
   * multi-video batching: ``pipe([p1, p2], seed=[s1, s2])`` runs N videos
     in one program, each bit-identical to its single call
   * optional per-step progress callback (``jax.debug.callback``, off by
-    default — zero-cost when unset)
+    default — zero-cost when unset; auto-disabled with a warning on
+    backends without host-callback support, e.g. the axon tunnel PJRT —
+    core/compat.host_callbacks_supported)
 """
 
 from __future__ import annotations
@@ -113,6 +117,10 @@ class PipelineOutput:
 
     frames: List[Any]
     latents: Optional[jnp.ndarray] = None
+    #: skip turbo mode only: number of real model evaluations the adaptive
+    #: scan performed (device-computed int32 scalar — works on backends
+    #: with no host-callback support, unlike the progress counter)
+    n_evals: Optional[jnp.ndarray] = None
 
 
 class VideoDiffusionPipeline:
@@ -585,6 +593,29 @@ class VideoDiffusionPipeline:
         if cb is not None:
             cb(int(i), int(n))
 
+    def _progress_enabled(self) -> bool:
+        """Whether the per-step callback gets traced into the program.
+        Requested-but-unsupported (the axon tunnel PJRT rejects host
+        callbacks at RUN time — core/compat) degrades to off with one
+        warning instead of a mid-generation UNIMPLEMENTED crash."""
+        if self.progress_callback is None:
+            return False
+        from vdx.core.compat import host_callbacks_supported
+
+        if not host_callbacks_supported():
+            if not getattr(self, "_warned_progress", False):
+                import warnings
+
+                warnings.warn(
+                    "per-step progress disabled: this backend (axon "
+                    "remote-dispatch PJRT) does not support host "
+                    "callbacks; use PipelineOutput.n_evals for skip-mode "
+                    "eval counts", stacklevel=3,
+                )
+                self._warned_progress = True
+            return False
+        return True
+
     def _denoise_raw(self, scheduler: str, guidance: bool, latent_shape,
                      max_steps: int = 0, num_steps: int = 0,
                      t_start: int = 0, encode_fn=None):
@@ -631,7 +662,7 @@ class VideoDiffusionPipeline:
         mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
-        progress = self.progress_callback is not None
+        progress = self._progress_enabled()
 
         def denoise(params, key, cond, guidance_scale, tables, n=None,
                     video=None):
@@ -711,14 +742,16 @@ class VideoDiffusionPipeline:
                     )
                     accum = jnp.where(do_eval, jnp.float32(0.0), accum)
                     lat = sampler.step(lat, eps, i, tables)
-                    return (lat, eps, sig, accum), None
+                    return (lat, eps, sig, accum), do_eval
 
                 zeros = jnp.zeros(latents.shape, jnp.float32)
-                (out, _, _, _), _ = jax.lax.scan(
+                (out, _, _, _), evals = jax.lax.scan(
                     body, (latents, zeros, zeros, jnp.float32(0.0)),
                     jnp.arange(t_start, num_steps),
                 )
-                return out
+                # device-computed eval count: observable on backends with
+                # no host-callback support (the axon tunnel)
+                return out, jnp.sum(evals.astype(jnp.int32))
 
             if is_dpm:
                 def body(carry, i):
@@ -970,7 +1003,7 @@ class VideoDiffusionPipeline:
         key = ("prog", scheduler, guidance, latent_shape, num_steps if not variable
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
-               self.pab is not None, self.progress_callback is not None,
+               self.pab is not None, self._progress_enabled(),
                t_start, encode_chunk,
                dataclasses.astuple(self.skip) if self.skip else None,
                self.guidance_rescale)
@@ -996,6 +1029,7 @@ class VideoDiffusionPipeline:
                 t_start=t_start, encode_fn=encode_fn,
             )
 
+        skip_stats = self.skip is not None and self.pab is None
         if chunk is None:
             fn = jax.jit(denoise_raw)
         else:
@@ -1003,8 +1037,12 @@ class VideoDiffusionPipeline:
 
             def generate(params, key, cond, guidance_scale, tables, n=None,
                          video=None):
-                latents = denoise_raw(params, key, cond, guidance_scale,
-                                      tables, n, video)
+                res = denoise_raw(params, key, cond, guidance_scale,
+                                  tables, n, video)
+                if skip_stats:
+                    latents, n_evals = res
+                    return latents, decode_raw(params, latents), n_evals
+                latents = res
                 return latents, decode_raw(params, latents)
 
             fn = jax.jit(generate)
@@ -1075,10 +1113,21 @@ class VideoDiffusionPipeline:
         if use_var:
             args = args + (jnp.int32(num_inference_steps),)
         kwargs = {"video": video} if v2v else {}
+        skip_stats = self.skip is not None and self.pab is None
+        n_evals = None
         if latent_only:
-            latents = prog(*args, **kwargs)
-            return PipelineOutput(frames=[], latents=latents)
-        latents, frames_u8 = prog(*args, **kwargs)
+            res = prog(*args, **kwargs)
+            if skip_stats:
+                latents, n_evals = res
+            else:
+                latents = res
+            return PipelineOutput(frames=[], latents=latents,
+                                  n_evals=n_evals)
+        res = prog(*args, **kwargs)
+        if skip_stats:
+            latents, frames_u8, n_evals = res
+        else:
+            latents, frames_u8 = res
         if output_type == "device":
             # Async surface: frames stay on device ([B, F, H, W, 3] uint8)
             # and the call returns as soon as the program is enqueued (JAX
@@ -1086,12 +1135,14 @@ class VideoDiffusionPipeline:
             # transfer (np.asarray(out.frames)) with the NEXT request's
             # denoise — on the tunneled backend that transfer costs ~1 s
             # per 12 MB video, pure pipeline bubble otherwise (PERF.md).
-            return PipelineOutput(frames=frames_u8, latents=latents)
+            return PipelineOutput(frames=frames_u8, latents=latents,
+                                  n_evals=n_evals)
         frames_np = np.asarray(frames_u8)  # [B, F, H, W, 3]
 
         if output_type == "np":
             return PipelineOutput(
-                frames=[frames_np[b] for b in range(B)], latents=latents
+                frames=[frames_np[b] for b in range(B)], latents=latents,
+                n_evals=n_evals,
             )
 
         from PIL import Image
@@ -1099,7 +1150,7 @@ class VideoDiffusionPipeline:
         pil = [
             [Image.fromarray(f) for f in frames_np[b]] for b in range(B)
         ]
-        return PipelineOutput(frames=pil, latents=latents)
+        return PipelineOutput(frames=pil, latents=latents, n_evals=n_evals)
 
     @staticmethod
     def _seed_keys(seed, batch: int):
