@@ -221,3 +221,24 @@ class TestSVDSkip:
         np.testing.assert_allclose(
             b.astype(np.int32), a.astype(np.int32), atol=1
         )
+
+
+class TestTurboBatchingGuard:
+    """The batched runner/serving compile their own denoise program — a
+    turbo pipeline handed to them must be rejected loudly, not silently run
+    without its turbo mode."""
+
+    def test_batched_service_rejects_turbo_pipe(self, exact_pipe=None):
+        import pytest as _pytest
+
+        from vdx.harness.batched import _batched_denoise_fn
+        from vdx.pipelines import AnimateDiffPipeline
+
+        pipe = AnimateDiffPipeline(skip=SkipConfig(), **KW)
+        with _pytest.raises(ValueError, match="turbo"):
+            _batched_denoise_fn(pipe, 4, (1, 2, 8, 8, 4), "ddim")
+        from vdx.pipelines import PABConfig
+
+        pipe2 = AnimateDiffPipeline(pab=PABConfig(), **KW)
+        with _pytest.raises(ValueError, match="turbo"):
+            _batched_denoise_fn(pipe2, 4, (1, 2, 8, 8, 4), "ddim")

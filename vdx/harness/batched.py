@@ -26,6 +26,7 @@ from vdx.core.rng import as_key
 from vdx.harness.config import ExperimentConfig
 from vdx.io.frames import export_to_gif, save_frames
 from vdx.schedulers import get_sampler
+from vdx.schedulers.common import cfg_combine
 
 
 def group_configs(configs: Sequence[ExperimentConfig]):
@@ -36,10 +37,17 @@ def group_configs(configs: Sequence[ExperimentConfig]):
 
 def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
     """One program: N experiments, CFG batched inside, vmapped over N."""
+    if getattr(pipe, "pab", None) is not None or getattr(pipe, "skip", None) is not None:
+        raise ValueError(
+            "the batched runner compiles its own denoise program and does "
+            "not implement the turbo modes — use a plain pipeline for "
+            "batched grids/serving (pab/skip are per-pipeline features)"
+        )
     sampler = get_sampler(scheduler)
     tables = sampler.make_tables(num_steps)
     unet = pipe.unet
     is_dpm = scheduler.startswith("dpm")
+    rescale = getattr(pipe, "guidance_rescale", 0.0)
 
     def one(unet_params, key, context, guidance_scale):
         # context: [2, S, D] (uncond, cond); latent_shape leads with 1
@@ -56,7 +64,7 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
             t_b = jnp.broadcast_to(t, (2,))
             eps = unet.apply(unet_params, model_in, t_b, context)
             u, c = jnp.split(eps, 2, axis=0)
-            eps = u + guidance_scale * (c - u)
+            eps = cfg_combine(u, c, guidance_scale, rescale)
             if is_dpm:
                 lat, x0 = sampler.step_multistep(lat, eps, i, carry[1], tables)
                 return (lat, x0), None
