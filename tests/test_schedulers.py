@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vdx.schedulers import ddim, dpm, euler
+from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler
 from vdx.schedulers.common import (
     ScheduleConfig,
     make_alphas_cumprod,
@@ -176,6 +176,104 @@ class TestDPM:
             eps_i = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
             x, prev_x0 = dpm.step_multistep(x, eps_i, jnp.asarray(i), prev_x0, t)
         np.testing.assert_allclose(x, x0, atol=1e-2)
+
+
+class TestDPMEDM:
+    """DPM-Solver++(2M) on the Karras/EDM grid (schedulers/dpm_edm.py)."""
+
+    def test_tables_are_the_edm_grid(self):
+        a, b = dpm_edm.make_tables(15), edm.make_tables(15)
+        np.testing.assert_array_equal(np.asarray(a.sigmas), np.asarray(b.sigmas))
+        np.testing.assert_array_equal(
+            np.asarray(a.timesteps), np.asarray(b.timesteps)
+        )
+        assert a.init_noise_sigma == b.init_noise_sigma
+
+    def test_oracle_recovers_x0_exactly(self):
+        """With a model whose implied denoised prediction is the TRUE x0
+        (delta data distribution), the exponential-integrator chain lands
+        exactly on x0 — the terminal step returns D = x0 at sigma=0."""
+        key = jax.random.PRNGKey(5)
+        x0 = jax.random.normal(key, (1, 2, 4, 4, 4))
+        t = dpm_edm.make_tables(6)
+        x = x0 + t.init_noise_sigma * jax.random.normal(
+            jax.random.fold_in(key, 1), x0.shape
+        )
+        prev = dpm_edm.init_state(x)
+        for i in range(6):
+            sigma = t.sigmas[i]
+            c_skip = 1.0 / (sigma**2 + 1.0)
+            c_out = -sigma / jnp.sqrt(sigma**2 + 1.0)
+            f_oracle = (x0 - c_skip * x) / c_out  # denoised == x0
+            x, prev = dpm_edm.step_multistep(x, f_oracle, jnp.asarray(i), prev, t)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+    @staticmethod
+    def _integrate(mod, n, x_init, multistep):
+        """Run the sigma-grid ODE with the fixed nonlinear test model
+        F(model_in) = tanh(model_in)."""
+        t = mod.make_tables(n)
+        x = x_init
+        prev = jnp.zeros_like(x)
+        for i in range(n):
+            f = jnp.tanh(mod.scale_model_input(x, i, t))
+            if multistep:
+                x, prev = mod.step_multistep(x, f, jnp.asarray(i), prev, t)
+            else:
+                x = mod.step(x, f, jnp.asarray(i), t)
+        return x
+
+    def test_second_order_convergence_vs_euler(self):
+        """At equal step counts the multistep solver tracks the fine-grid
+        ODE solution much closer than first-order Euler (the entire point:
+        ~half the UNet evaluations for the same trajectory accuracy)."""
+        key = jax.random.PRNGKey(9)
+        x_init = 700.0 * jax.random.normal(key, (1, 2, 4, 4, 2))
+        ref = self._integrate(edm, 2048, x_init, multistep=False)
+        scale = float(jnp.mean(jnp.abs(ref)))
+
+        def err(mod, n, multistep):
+            out = self._integrate(mod, n, x_init, multistep)
+            return float(jnp.mean(jnp.abs(out - ref))) / scale
+
+        e_euler_32, e_euler_64 = err(edm, 32, False), err(edm, 64, False)
+        e_dpm_32, e_dpm_64 = err(dpm_edm, 32, True), err(dpm_edm, 64, True)
+        # second-order: each doubling should cut the error ~4x (allow 2.8x
+        # for the coarse-grid preasymptotic regime); Euler halves it
+        assert e_dpm_64 < e_dpm_32 / 2.8, (e_dpm_32, e_dpm_64)
+        assert e_euler_32 / 2.6 < e_euler_64 < e_euler_32 / 1.6
+        # and at equal step counts the multistep solver is far closer
+        assert e_dpm_32 < 0.6 * e_euler_32, (e_dpm_32, e_euler_32)
+        assert e_dpm_64 < 0.35 * e_euler_64, (e_dpm_64, e_euler_64)
+        # measured on this fixed seed: euler .209/.102, dpm .0998/.0226
+        # (this synthetic tanh model is stiffer than a trained denoiser —
+        # its x0 swings across the FULL lambda range; where the crossover
+        # sits for the real UNet is measured at the pipeline level,
+        # tests/test_svd.py::test_dpm_edm_tracks_fine_reference)
+
+    def test_under_scan_and_jit(self):
+        t = dpm_edm.make_tables(10)
+        key = jax.random.PRNGKey(2)
+        x = 700.0 * jax.random.normal(key, (1, 2, 4, 4, 2))
+
+        @jax.jit
+        def run(x):
+            def body(carry, i):
+                lat, prev = carry
+                f = jnp.tanh(dpm_edm.scale_model_input(lat, i, t))
+                lat, x0 = dpm_edm.step_multistep(lat, f, i, prev, t)
+                return (lat, x0), None
+
+            (out, _), _ = jax.lax.scan(
+                body, (x, jnp.zeros_like(x)), jnp.arange(10)
+            )
+            return out
+
+        out_scan = run(x)
+        out_loop = self._integrate(dpm_edm, 10, x, multistep=True)
+        np.testing.assert_allclose(
+            np.asarray(out_scan), np.asarray(out_loop), rtol=1e-4, atol=1e-4
+        )
 
 
 class TestScanCompatibility:

@@ -84,6 +84,38 @@ class TestSVDPipeline:
         f2 = tiny_svd(im2, **kw).frames[0]
         assert not np.array_equal(f1, f2)
 
+    def test_dpm_edm_tracks_fine_reference(self, tiny_svd):
+        """DPM-Solver++(2M) on the EDM grid (scheduler="dpm_edm") tracks
+        the fine-grid ODE solution markedly closer than Euler at the SAME
+        step count — the whole point of the second-order sampler (each
+        step costs one UNet eval in both).
+
+        Measured on this fixture vs a 384-step Euler reference: euler@25
+        rel-err 0.131, dpm_edm@25 0.075 — a 1.75x accuracy margin even on
+        the rough random-weight trajectory; real checkpoints have smoother
+        x0 paths where the multistep advantage grows (PERF.md). The test
+        reference is dpm_edm@64 (self-err 0.017 vs the 384-step Euler run
+        — an order of magnitude under both candidates, and unlike a
+        coarse EULER reference its error is not correlated with the Euler
+        candidate's, which artificially shrinks the gap)."""
+        rng = np.random.default_rng(2)
+        image = rng.random((64, 64, 3)).astype(np.float32)
+        kw = dict(num_frames=4, height=64, width=64, seed=3,
+                  output_type="latent")
+
+        def lat(sched, n):
+            out = tiny_svd(image, num_inference_steps=n, scheduler=sched, **kw)
+            return np.asarray(out.latents, np.float64)
+
+        ref = lat("dpm_edm", 64)
+        scale = np.abs(ref).mean()
+        e_euler = np.abs(lat("edm", 25) - ref).mean() / scale
+        e_dpm = np.abs(lat("dpm_edm", 25) - ref).mean() / scale
+        assert np.isfinite(e_dpm) and np.isfinite(e_euler)
+        # measured 0.065 vs 0.142 (ratio 0.46; 0.57 vs the unbiased
+        # 384-step reference) — 0.65 bounds both methodologies
+        assert e_dpm < 0.65 * e_euler, (e_dpm, e_euler)
+
     def test_deterministic(self, tiny_svd):
         rng = np.random.default_rng(1)
         image = rng.random((64, 64, 3)).astype(np.float32)

@@ -25,6 +25,10 @@ north-star pipeline inherits the framework's best machinery:
     PERF.md)
   * ``variable_steps=N`` — one compile for every EDM step count
   * PAB turbo mode (EDM's step is stateless, so broadcast applies)
+  * ``scheduler="dpm_edm"`` — DPM-Solver++(2M) on the same Karras grid:
+    second-order trajectory accuracy at one UNet eval per step
+    (schedulers/dpm_edm.py; accuracy margin measured in
+    tests/test_svd.py::test_dpm_edm_tracks_fine_reference)
 """
 
 from __future__ import annotations

@@ -8,7 +8,7 @@ plus ``tables.timesteps`` (the model-facing t per step) and
 ``tables.init_noise_sigma`` (initial latent scale).
 """
 
-from vdx.schedulers import ddim, dpm, edm, euler
+from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler
 from vdx.schedulers.common import ScheduleConfig
 
 _SAMPLERS = {
@@ -17,6 +17,7 @@ _SAMPLERS = {
     "dpm": dpm,
     "dpmsolver++": dpm,
     "edm": edm,
+    "dpm_edm": dpm_edm,
 }
 
 
@@ -29,4 +30,6 @@ def get_sampler(name: str):
         ) from None
 
 
-__all__ = ["ddim", "euler", "dpm", "edm", "get_sampler", "ScheduleConfig"]
+__all__ = [
+    "ddim", "euler", "dpm", "edm", "dpm_edm", "get_sampler", "ScheduleConfig",
+]
