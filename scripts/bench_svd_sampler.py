@@ -7,10 +7,11 @@ and what that does to wall-clock. Drift is scored the way the turbo modes
 are (scripts/svd_skip_drift.py): decoded-frame PSNR vs a FINE-grid Euler
 reference of the same seed (the ODE ground truth), plus the flicker index.
 
-    python -u scripts/bench_svd_sampler.py run edm:100      # the reference
-    python -u scripts/bench_svd_sampler.py run edm:25
-    python -u scripts/bench_svd_sampler.py run dpm_edm:12
+    python -u scripts/bench_svd_sampler.py run edm:100,edm:25,dpm_edm:12
     python -u scripts/bench_svd_sampler.py compare          # PSNR table
+
+(comma-separated specs share one process: params init and the tunnel
+warm-up are paid once).
 """
 
 import sys
@@ -25,7 +26,7 @@ ROOT = Path(__file__).resolve().parents[1]
 RUNS = ROOT / "artifacts" / "svd_sampler_sweep"
 
 
-def run(spec: str):
+def run(specs: str):
     import jax.numpy as jnp
 
     from vdx.core.cache import enable_compilation_cache
@@ -37,9 +38,8 @@ def run(spec: str):
 
     enable_compilation_cache()
     RUNS.mkdir(parents=True, exist_ok=True)
-    scheduler, steps = spec.split(":")
-    steps = int(steps)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    t0 = time.time()
     pipe = SVDImg2VidPipeline.with_random_params(
         seed=0,
         unet_config=SVDUNetConfig.svd(),
@@ -47,17 +47,21 @@ def run(spec: str):
         vision_config=CLIPVisionConfig.vit_h(),
         policy=policy,
     )
+    print(f"init: {time.time() - t0:.1f} s", flush=True)
     img = np.random.default_rng(42).random((576, 1024, 3)).astype(np.float32)
-    kw = dict(num_frames=25, height=576, width=1024, decode_chunk=5, seed=3,
-              output_type="np", scheduler=scheduler,
-              num_inference_steps=steps)
-    t0 = time.time()
-    out = pipe(img, **kw)
-    print(f"{spec}: compile+first {time.time() - t0:.1f} s", flush=True)
-    t0 = time.time()
-    out = pipe(img, **kw)
-    print(f"{spec}: {time.time() - t0:.1f} s/video", flush=True)
-    np.save(RUNS / f"{scheduler}_{steps:03d}.npy", out.frames[0])
+    for spec in specs.split(","):
+        scheduler, steps = spec.split(":")
+        steps = int(steps)
+        kw = dict(num_frames=25, height=576, width=1024, decode_chunk=5,
+                  seed=3, output_type="np", scheduler=scheduler,
+                  num_inference_steps=steps)
+        t0 = time.time()
+        out = pipe(img, **kw)
+        print(f"{spec}: compile+first {time.time() - t0:.1f} s", flush=True)
+        t0 = time.time()
+        out = pipe(img, **kw)
+        print(f"{spec}: {time.time() - t0:.1f} s/video", flush=True)
+        np.save(RUNS / f"{scheduler}_{steps:03d}.npy", out.frames[0])
 
 
 def compare():
@@ -83,4 +87,4 @@ if __name__ == "__main__":
     if arg == "compare":
         compare()
     else:
-        run(sys.argv[2])
+        run(sys.argv[2] if len(sys.argv) > 2 else "edm:25,dpm_edm:12")

@@ -118,6 +118,37 @@ class TestVariableSteps:
         ]
         assert len(var_keys) == 2  # one per scheduler, NOT per step count
 
+    def test_dpm_multistep_under_variable_steps(self):
+        """The dpm multistep carry (latents, prev_x0) rides the padded
+        cond-skip scan too: variable == static per step count, including
+        the terminal lower_order_final step (detected by the padded
+        table's sigma value, not a static index)."""
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        kw = dict(
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        static = AnimateDiffPipeline.with_random_params(seed=0, **kw)
+        var = AnimateDiffPipeline.with_random_params(
+            seed=0, variable_steps=4, **kw
+        )
+        gen = dict(num_frames=2, height=64, width=64, output_type="np",
+                   scheduler="dpm")
+        for steps in (2, 4):
+            a = static("portrait", num_inference_steps=steps, seed=9,
+                       **gen).frames[0]
+            b = var("portrait", num_inference_steps=steps, seed=9,
+                    **gen).frames[0]
+            diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+            assert diff.max() <= 1, (steps, diff.max())
+
 
 class TestVideoToVideo:
     """video2video (SDEdit) on the unified core: in-program VAE encode ->

@@ -645,7 +645,6 @@ class VideoDiffusionPipeline:
         variable = max_steps > 0
         skip = self.skip
         if variable:
-            assert not is_dpm, "dpm multistep carries state across steps"
             assert self.pab is None, "PAB program is per-step-count"
             assert skip is None, "skip programs are static per step count"
         if skip is not None:
@@ -754,13 +753,31 @@ class VideoDiffusionPipeline:
                 return out, jnp.sum(evals.astype(jnp.int32))
 
             if is_dpm:
+                # multistep: the carry threads (latents, prev_x0). Under
+                # variable_steps a padded step passes the carry through
+                # untouched, and the samplers detect the terminal node by
+                # its sigma value, so one program serves every step count.
+                init = (latents, jnp.zeros_like(latents))
+                if variable:
+                    def body(carry, i):
+                        return jax.lax.cond(
+                            i < n,
+                            lambda c: real_step(c[0], i, c[1]),
+                            lambda c: c,
+                            carry,
+                        ), None
+
+                    (out, _), _ = jax.lax.scan(
+                        body, init, jnp.arange(max_steps)
+                    )
+                    return out
+
                 def body(carry, i):
                     lat, x0 = real_step(carry[0], i, carry[1])
                     return (lat, x0), None
 
                 (out, _), _ = jax.lax.scan(
-                    body, (latents, jnp.zeros_like(latents)),
-                    jnp.arange(num_steps),
+                    body, init, jnp.arange(num_steps)
                 )
                 return out
             if variable:
@@ -1092,7 +1109,6 @@ class VideoDiffusionPipeline:
             and self.pab is None
             and self.skip is None  # skip programs are static per step count
             and not v2v  # v2v programs are static per (steps, t_start)
-            and not scheduler.startswith("dpm")
             and num_inference_steps <= self.variable_steps
         )
         key_arr = self._seed_keys(seed, B)

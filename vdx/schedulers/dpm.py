@@ -105,7 +105,14 @@ def step_multistep(
     x0_bar = x0 + 0.5 * d * (x0 - prev_x0)
     second = (sigma_next / sigma_cur) * sample32 - alpha_next * jnp.expm1(-h) * x0_bar
 
-    next_sample = jnp.where(i == 0, first, second)
+    # lower_order_final (the standard DPM-Solver++ stabilization, matching
+    # diffusers' default): the terminal node's lambda gap is huge (sigma
+    # floor 1e-10), so the 1/(2r) extrapolation amplifies the last x0
+    # delta — use first order there. Terminal is detected by the appended
+    # node's sigma value (1e-4; every real schedule sigma is >= 0.01) so
+    # the check stays correct under variable_steps' padded tables.
+    first_order = jnp.logical_or(i == 0, sigma_next < 5e-4)
+    next_sample = jnp.where(first_order, first, second)
     return next_sample.astype(sample.dtype), x0
 
 

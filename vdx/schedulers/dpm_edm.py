@@ -73,7 +73,6 @@ def step_multistep(
     ``sample`` is the UNSCALED latent (the pipeline scan keeps latents at
     natural EDM scale and applies c_in via scale_model_input)."""
     i = step_index
-    n = tables.timesteps.shape[0]
     x = sample.astype(jnp.float32)
 
     sigma_prev = tables.sigmas[jnp.maximum(i - 1, 0)]
@@ -93,8 +92,11 @@ def step_multistep(
 
     # second-order extrapolated denoised estimate
     d2 = x0 + (0.5 / jnp.maximum(r, _TINY)) * (x0 - prev_x0)
-    # first order at step 0 (no history) and the terminal step (h -> inf)
-    first_order = jnp.logical_or(i == 0, i == n - 1)
+    # first order at step 0 (no history) and the terminal step (h -> inf).
+    # Terminal is detected by sigma_next == 0 rather than a static index so
+    # the SAME program is correct under variable_steps (padded tables put
+    # the literal 0.0 terminal at the runtime step count's node).
+    first_order = jnp.logical_or(i == 0, sigma_next <= 0.0)
     d = jnp.where(first_order, x0, d2)
 
     next_sample = ratio * x + (1.0 - ratio) * d
