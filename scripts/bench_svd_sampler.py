@@ -39,6 +39,11 @@ def run(specs: str):
     enable_compilation_cache()
     RUNS.mkdir(parents=True, exist_ok=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
+    variable = 0
+    if specs.startswith("var,"):
+        # one variable-steps program serves every step count in the sweep
+        specs = specs[4:]
+        variable = max(int(s.split(":")[1]) for s in specs.split(","))
     t0 = time.time()
     pipe = SVDImg2VidPipeline.with_random_params(
         seed=0,
@@ -46,8 +51,10 @@ def run(specs: str):
         vae_config=VAEConfig.sd15(),
         vision_config=CLIPVisionConfig.vit_h(),
         policy=policy,
+        variable_steps=variable,
     )
-    print(f"init: {time.time() - t0:.1f} s", flush=True)
+    print(f"init: {time.time() - t0:.1f} s (variable_steps={variable})",
+          flush=True)
     img = np.random.default_rng(42).random((576, 1024, 3)).astype(np.float32)
     for spec in specs.split(","):
         scheduler, steps = spec.split(":")

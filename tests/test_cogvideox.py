@@ -103,6 +103,46 @@ class TestDiT3D:
 
 
 class TestCogVideoXPipeline:
+    def test_checkpoint_faithful_sampler_defaults(self):
+        """CogVideoX samples with its published DDIM semantics, not the
+        SD-1.5 defaults: v-prediction on scaled_linear betas with the SNR
+        shift (s=3) and zero-terminal-SNR rescale (diffusers
+        CogVideoXDDIMScheduler; Lin et al. 2023)."""
+        from vdx.schedulers import ddim
+        from vdx.schedulers.common import make_alphas_cumprod
+
+        pipe = CogVideoXPipeline(
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+        cfg = pipe._sampler_cfg("ddim")
+        assert cfg.schedule.prediction_type == "v_prediction"
+        assert cfg.schedule.beta_schedule == "scaled_linear"
+        assert cfg.schedule.snr_shift_scale == 3.0
+        assert cfg.timestep_spacing == "trailing"  # zero-SNR recipe
+        acp = make_alphas_cumprod(cfg.schedule)
+        assert acp[-1] == 0.0  # zero terminal SNR
+        # trailing spacing actually samples the zero-SNR node first
+        t999 = pipe._get_tables("ddim", 4).timesteps[0]
+        assert int(t999) == 999
+        # the pipeline's device tables differ from the SD-1.5 defaults
+        t = pipe._get_tables("ddim", 4)
+        base = ddim.make_tables(4)
+        assert not np.allclose(
+            np.asarray(t.alpha_prod_t), np.asarray(base.alpha_prod_t)
+        )
+        # and a user override wins over the family default
+        pipe2 = CogVideoXPipeline(
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+            sampler_configs={"ddim": ddim.DDIMConfig()},
+        )
+        assert pipe2._sampler_cfg("ddim") == ddim.DDIMConfig()
+
     def test_generates(self):
         pipe = CogVideoXPipeline.with_random_params(
             seed=0,

@@ -178,6 +178,61 @@ class TestDPM:
         np.testing.assert_allclose(x, x0, atol=1e-2)
 
 
+class TestScheduleMods:
+    """Checkpoint-family schedule knobs: SNR shift (CogVideoX), zero-terminal-
+    SNR rescale (Lin et al. 2023), DDIM timestep_spacing variants."""
+
+    def test_snr_shift_golden(self):
+        s = 3.0
+        base = make_alphas_cumprod(ScheduleConfig()).astype(np.float64)
+        acp = make_alphas_cumprod(ScheduleConfig(snr_shift_scale=s))
+        np.testing.assert_allclose(acp, base / (s - (s - 1) * base), rtol=1e-5)
+        # the defining property: every SNR is divided by s
+        snr, snr_s = base / (1 - base), acp / (1 - acp.astype(np.float64))
+        np.testing.assert_allclose(snr_s, snr / s, rtol=1e-4)
+
+    def test_zero_snr_rescale_properties(self):
+        cfg = ScheduleConfig(rescale_zero_snr=True,
+                             prediction_type="v_prediction")
+        acp = make_alphas_cumprod(cfg)
+        base = make_alphas_cumprod(ScheduleConfig())
+        assert acp[-1] == 0.0  # terminal SNR exactly zero
+        np.testing.assert_allclose(acp[0], base[0], rtol=1e-5)  # first kept
+        assert np.all(np.diff(acp.astype(np.float64)) < 0)
+
+    def test_ddim_trailing_spacing(self):
+        cfg = ddim.DDIMConfig(timestep_spacing="trailing", steps_offset=0)
+        t = ddim.make_tables(4, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(t.timesteps), [999, 749, 499, 249]
+        )
+
+    def test_vpred_zero_snr_ddim_chain_recovers_x0(self):
+        """The CogVideoX-style schedule (scaled_linear + SNR shift + zero-SNR
+        rescale + v_prediction + set_alpha_to_one) run with a v oracle lands
+        exactly on x0 — in particular the terminal sqrt(acp)=0 node divides
+        by nothing on the v-prediction path."""
+        sched = ScheduleConfig(
+            beta_schedule="scaled_linear", prediction_type="v_prediction",
+            snr_shift_scale=3.0, rescale_zero_snr=True,
+        )
+        cfg = ddim.DDIMConfig(schedule=sched, steps_offset=0,
+                              set_alpha_to_one=True)
+        t = ddim.make_tables(20, cfg)
+        key = jax.random.PRNGKey(3)
+        x0 = jax.random.normal(key, (1, 2, 4, 4))
+        eps0 = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+        a0 = t.alpha_prod_t[0]
+        x = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * eps0
+        for i in range(20):
+            a = t.alpha_prod_t[i]
+            sqrt_a, sqrt_1ma = jnp.sqrt(a), jnp.sqrt(1 - a)
+            eps_i = (x - sqrt_a * x0) / jnp.maximum(sqrt_1ma, 1e-12)
+            v_i = sqrt_a * eps_i - sqrt_1ma * x0
+            x = ddim.step(x, v_i, jnp.asarray(i), t, cfg)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-4)
+
+
 class TestDPMEDM:
     """DPM-Solver++(2M) on the Karras/EDM grid (schedulers/dpm_edm.py)."""
 

@@ -44,7 +44,16 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
             "batched grids/serving (pab/skip are per-pipeline features)"
         )
     sampler = get_sampler(scheduler)
-    tables = sampler.make_tables(num_steps)
+    # honor the pipeline's checkpoint-faithful sampling constants
+    # (prediction type / beta schedule / SNR shift), exactly like the
+    # pipeline's own compiled core
+    _cfg = pipe._sampler_cfg(scheduler) if hasattr(pipe, "_sampler_cfg") else None
+    step_kw = {} if _cfg is None else {"cfg": _cfg}
+    tables = (
+        sampler.make_tables(num_steps, _cfg)
+        if _cfg is not None
+        else sampler.make_tables(num_steps)
+    )
     unet = pipe.unet
     is_dpm = scheduler.startswith("dpm")
     rescale = getattr(pipe, "guidance_rescale", 0.0)
@@ -66,9 +75,11 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
             u, c = jnp.split(eps, 2, axis=0)
             eps = cfg_combine(u, c, guidance_scale, rescale)
             if is_dpm:
-                lat, x0 = sampler.step_multistep(lat, eps, i, carry[1], tables)
+                lat, x0 = sampler.step_multistep(
+                    lat, eps, i, carry[1], tables, **step_kw
+                )
                 return (lat, x0), None
-            return sampler.step(lat, eps, i, tables), None
+            return sampler.step(lat, eps, i, tables, **step_kw), None
 
         init = (latents, jnp.zeros_like(latents)) if is_dpm else latents
         out, _ = jax.lax.scan(body, init, jnp.arange(num_steps))

@@ -155,6 +155,7 @@ class VideoDiffusionPipeline:
         variable_steps: int = 0,
         progress: Optional[Callable[[int, int], None]] = None,
         guidance_rescale: float = 0.0,
+        sampler_configs=None,
     ):
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
@@ -170,15 +171,23 @@ class VideoDiffusionPipeline:
             attn_impl=attn_impl, pab=pab, skip=skip, frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
+            sampler_configs=sampler_configs,
         )
 
     def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
                    pab, frame_shards, mesh, variable_steps, progress,
-                   seq_impl="ulysses", skip=None, guidance_rescale=0.0):
+                   seq_impl="ulysses", skip=None, guidance_rescale=0.0,
+                   sampler_configs=None):
         """Shared compiled-machinery state — called by every family's
         ``__init__`` after it builds its components."""
         self.policy = policy
         self.scheduler = scheduler
+        # Checkpoint-faithful sampling constants: sampler name -> that
+        # sampler's frozen config dataclass (e.g. "ddim" -> DDIMConfig with
+        # v_prediction + SNR shift for CogVideoX). None entries / missing
+        # names use the sampler module's defaults (the SD-1.5 reference
+        # semantics). Frozen dataclasses hash, so they key program caches.
+        self.sampler_configs = dict(sampler_configs or {})
         self.pab = pab
         if pab is not None and skip is not None:
             raise ValueError(
@@ -563,15 +572,26 @@ class VideoDiffusionPipeline:
     # ------------------------------------------------------------------
     # Compiled stages
     # ------------------------------------------------------------------
+    def _sampler_cfg(self, scheduler: str):
+        """The pipeline's config override for this sampler (or None for the
+        module defaults — the SD-1.5 reference semantics)."""
+        return self.sampler_configs.get(scheduler)
+
     def _get_tables(self, scheduler: str, num_steps: int, max_steps: int = 0):
         """Device-resident scheduler tables, cached per signature.
 
         max_steps>0 pads to the variable-steps program shape
         (schedulers.common.pad_tables). Cached so per-request host work and
         re-uploads are zero on the steady path."""
-        key = ("tables", scheduler, num_steps, max_steps)
+        cfg = self._sampler_cfg(scheduler)
+        key = ("tables", scheduler, num_steps, max_steps, cfg)
         if key not in self._compiled:
-            tables = get_sampler(scheduler).make_tables(num_steps)
+            sampler = get_sampler(scheduler)
+            tables = (
+                sampler.make_tables(num_steps, cfg)
+                if cfg is not None
+                else sampler.make_tables(num_steps)
+            )
             self._compiled[key] = pad_tables(
                 tables, num_steps, max_steps or num_steps
             )
@@ -641,6 +661,8 @@ class VideoDiffusionPipeline:
         device-side by _get_tables), so programs never bake them in.
         """
         sampler = get_sampler(scheduler)
+        _cfg = self._sampler_cfg(scheduler)
+        step_kw = {} if _cfg is None else {"cfg": _cfg}
         is_dpm = scheduler.startswith("dpm")
         variable = max_steps > 0
         skip = self.skip
@@ -711,8 +733,10 @@ class VideoDiffusionPipeline:
             def real_step(lat, i, prev_x0=None):
                 eps = eval_eps(lat, i)
                 if is_dpm:
-                    return sampler.step_multistep(lat, eps, i, prev_x0, tables)
-                return sampler.step(lat, eps, i, tables)
+                    return sampler.step_multistep(
+                        lat, eps, i, prev_x0, tables, **step_kw
+                    )
+                return sampler.step(lat, eps, i, tables, **step_kw)
 
             if skip is not None:
                 thresh = jnp.float32(skip.threshold)
@@ -740,7 +764,7 @@ class VideoDiffusionPipeline:
                         lat,
                     )
                     accum = jnp.where(do_eval, jnp.float32(0.0), accum)
-                    lat = sampler.step(lat, eps, i, tables)
+                    lat = sampler.step(lat, eps, i, tables, **step_kw)
                     return (lat, eps, sig, accum), do_eval
 
                 zeros = jnp.zeros(latents.shape, jnp.float32)
@@ -812,6 +836,8 @@ class VideoDiffusionPipeline:
         frame axis. The cache never leaves its device between steps, so
         any internally-consistent spec assignment is exact."""
         sampler = get_sampler(scheduler)
+        _cfg = self._sampler_cfg(scheduler)
+        step_kw = {} if _cfg is None else {"cfg": _cfg}
         if scheduler.startswith("dpm"):
             raise ValueError("PAB turbo mode supports ddim/euler/edm samplers")
         tables = self._get_tables(scheduler, num_steps)
@@ -960,7 +986,7 @@ class VideoDiffusionPipeline:
                     u, c = jnp.split(eps, 2, axis=0)
                     eps = cfg_combine(u, c, guidance_scale,
                                       self.guidance_rescale)
-                return sampler.step(lat, eps, i, tables), new_cache
+                return sampler.step(lat, eps, i, tables, **step_kw), new_cache
 
             # step 0: creates the cache collection
             latents, cache = unet_step(latents, jnp.asarray(0), None)
@@ -1023,7 +1049,8 @@ class VideoDiffusionPipeline:
                self.pab is not None, self._progress_enabled(),
                t_start, encode_chunk,
                dataclasses.astuple(self.skip) if self.skip else None,
-               self.guidance_rescale)
+               self.guidance_rescale,
+               self._sampler_cfg(scheduler))  # cfg branches the traced step
         if key in self._compiled:
             return self._compiled[key]
 

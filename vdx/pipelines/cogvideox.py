@@ -64,6 +64,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         progress=None,
         offload_text_encoder: bool = False,
         guidance_rescale: float = 0.0,
+        sampler_configs=None,
     ):
         self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl,
                                 pab=pab is not None)
@@ -85,12 +86,37 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         self.offload_text_encoder = offload_text_encoder
         self._t5_host = None
         self._text_cache: dict = {}
+        if sampler_configs is None:
+            # CogVideoX's published DDIM semantics (diffusers
+            # CogVideoXDDIMScheduler): v-prediction on a scaled_linear beta
+            # grid with the SNR shift (s=3) and the zero-terminal-SNR
+            # rescale of Lin et al. — NOT the SD-1.5 epsilon defaults.
+            # Trailing spacing is part of the zero-SNR recipe (the rescaled
+            # t=999 node must actually be sampled first, Lin et al. §4).
+            # Override per checkpoint via ``sampler_configs``.
+            from vdx.schedulers.common import ScheduleConfig
+            from vdx.schedulers.ddim import DDIMConfig
+
+            sampler_configs = {
+                "ddim": DDIMConfig(
+                    schedule=ScheduleConfig(
+                        beta_schedule="scaled_linear",
+                        prediction_type="v_prediction",
+                        snr_shift_scale=3.0,
+                        rescale_zero_snr=True,
+                    ),
+                    steps_offset=0,
+                    set_alpha_to_one=True,
+                    timestep_spacing="trailing",
+                )
+            }
         self._init_core(
             dit_config, policy=policy, scheduler=scheduler,
             attn_impl=attn_impl, pab=pab, skip=skip,
             frame_shards=frame_shards,
             mesh=mesh, variable_steps=variable_steps, progress=progress,
             guidance_rescale=guidance_rescale,
+            sampler_configs=sampler_configs,
         )
 
     # ------------------------------------------------------------------

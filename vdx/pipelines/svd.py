@@ -71,6 +71,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         variable_steps: int = 0,
         progress=None,
         guidance_rescale: float = 0.0,
+        sampler_configs=None,
     ):
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
@@ -86,6 +87,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
             frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
+            sampler_configs=sampler_configs,
         )
 
     # ------------------------------------------------------------------

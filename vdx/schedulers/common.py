@@ -27,13 +27,29 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class ScheduleConfig:
-    """Training-time diffusion schedule (SD-1.5 defaults)."""
+    """Training-time diffusion schedule (SD-1.5 defaults).
+
+    The two post-processing knobs cover the checkpoint families whose
+    published schedulers modify alphas_cumprod after the beta grid:
+
+    * ``snr_shift_scale`` s != 1 applies the CogVideoX SNR shift
+      acp' = acp / (s - (s-1) acp) — equivalent to scaling every SNR by
+      1/s, shifting noise mass toward high-resolution detail (CogVideoX
+      report; diffusers CogVideoXDDIMScheduler semantics).
+    * ``rescale_zero_snr`` applies the zero-terminal-SNR rescale of Lin
+      et al. 2023 ("Common Diffusion Noise Schedules and Sample Steps are
+      Flawed"): sqrt(acp) is affinely mapped so the terminal step has
+      exactly zero SNR (acp[-1] = 0) while acp[0] is preserved. Requires
+      v_prediction (epsilon's x0 recovery divides by sqrt(acp) -> 0).
+    """
 
     num_train_timesteps: int = 1000
     beta_start: float = 0.00085
     beta_end: float = 0.012
     beta_schedule: str = "linear"  # "linear" | "scaled_linear" | "squaredcos_cap_v2"
     prediction_type: str = "epsilon"  # "epsilon" | "v_prediction" | "sample"
+    snr_shift_scale: float = 1.0
+    rescale_zero_snr: bool = False
 
 
 def make_betas(cfg: ScheduleConfig) -> np.ndarray:
@@ -59,7 +75,16 @@ def make_betas(cfg: ScheduleConfig) -> np.ndarray:
 
 def make_alphas_cumprod(cfg: ScheduleConfig) -> np.ndarray:
     betas = make_betas(cfg).astype(np.float64)
-    return np.cumprod(1.0 - betas).astype(np.float32)
+    acp = np.cumprod(1.0 - betas)
+    if cfg.snr_shift_scale != 1.0:
+        s = float(cfg.snr_shift_scale)
+        acp = acp / (s - (s - 1.0) * acp)
+    if cfg.rescale_zero_snr:
+        # affine map on sqrt(acp): terminal -> exactly 0, first preserved
+        sq = np.sqrt(acp)
+        sq = (sq - sq[-1]) * (sq[0] / (sq[0] - sq[-1]))
+        acp = sq**2
+    return acp.astype(np.float32)
 
 
 def timesteps_leading(num_train: int, num_steps: int, steps_offset: int = 0) -> np.ndarray:

@@ -26,6 +26,8 @@ from vdx.schedulers.common import (
     make_alphas_cumprod,
     pred_x0_and_eps,
     timesteps_leading,
+    timesteps_linspace,
+    timesteps_trailing,
 )
 
 
@@ -37,6 +39,7 @@ class DDIMConfig:
     clip_sample_range: float = 1.0
     set_alpha_to_one: bool = False
     thresholding: bool = False
+    timestep_spacing: str = "leading"  # "leading" | "trailing" | "linspace"
 
 
 class DDIMTables(NamedTuple):
@@ -51,7 +54,14 @@ class DDIMTables(NamedTuple):
 def make_tables(num_inference_steps: int, cfg: DDIMConfig = DDIMConfig()) -> DDIMTables:
     T = cfg.schedule.num_train_timesteps
     acp = make_alphas_cumprod(cfg.schedule)
-    ts = timesteps_leading(T, num_inference_steps, cfg.steps_offset)
+    if cfg.timestep_spacing == "leading":
+        ts = timesteps_leading(T, num_inference_steps, cfg.steps_offset)
+    elif cfg.timestep_spacing == "trailing":
+        ts = timesteps_trailing(T, num_inference_steps)
+    elif cfg.timestep_spacing == "linspace":
+        ts = timesteps_linspace(T, num_inference_steps)
+    else:
+        raise ValueError(f"unknown timestep_spacing: {cfg.timestep_spacing}")
     ts = np.clip(ts, 0, T - 1)
 
     prev_ts = ts - T // num_inference_steps
