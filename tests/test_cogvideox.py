@@ -143,6 +143,24 @@ class TestCogVideoXPipeline:
         )
         assert pipe2._sampler_cfg("ddim") == ddim.DDIMConfig()
 
+    def test_dynamic_cfg(self):
+        """use_dynamic_cfg analogue: the cosine^5 per-step guidance ramp
+        runs through the compiled core and changes the output vs static."""
+        pipe = CogVideoXPipeline.with_random_params(
+            seed=0,
+            dit_config=CogVideoXConfig.tiny(),
+            vae_config=CausalVAEConfig.tiny(),
+            t5_config=T5Config.tiny(),
+            policy=FP32_POLICY,
+        )
+        kw = dict(num_frames=5, height=32, width=32, num_inference_steps=3,
+                  seed=1)
+        static = pipe("a corgi", guidance_scale=6.0, **kw).frames[0]
+        dyn = pipe("a corgi", guidance_scale=6.0, dynamic_cfg=True,
+                   **kw).frames[0]
+        assert dyn.shape == static.shape and dyn.dtype == np.uint8
+        assert not np.array_equal(static, dyn)
+
     def test_generates(self):
         pipe = CogVideoXPipeline.with_random_params(
             seed=0,

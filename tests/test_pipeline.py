@@ -118,6 +118,35 @@ class TestVariableSteps:
         ]
         assert len(var_keys) == 2  # one per scheduler, NOT per step count
 
+    def test_per_step_guidance_schedule(self):
+        """guidance_scale accepts an [N] per-step schedule (dynamic CFG):
+        a constant schedule reproduces the scalar call exactly; a varying
+        one changes the output; wrong length is rejected."""
+        import pytest
+
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.unet_motion import UNetMotionConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=2, height=64, width=64, output_type="np",
+                   num_inference_steps=3, seed=4)
+        scalar = pipe("portrait", guidance_scale=7.5, **gen).frames[0]
+        const = pipe("portrait", guidance_scale=[7.5] * 3, **gen).frames[0]
+        np.testing.assert_array_equal(scalar, const)
+        ramp = pipe("portrait", guidance_scale=[1.0, 4.0, 7.5], **gen).frames[0]
+        assert not np.array_equal(scalar, ramp)
+        with pytest.raises(ValueError, match="per-step guidance"):
+            pipe("portrait", guidance_scale=[7.5] * 4, **gen)
+
     def test_dpm_multistep_under_variable_steps(self):
         """The dpm multistep carry (latents, prev_x0) rides the padded
         cond-skip scan too: variable == static per step count, including

@@ -200,6 +200,15 @@ class TestScheduleMods:
         np.testing.assert_allclose(acp[0], base[0], rtol=1e-5)  # first kept
         assert np.all(np.diff(acp.astype(np.float64)) < 0)
 
+    def test_dynamic_cfg_schedule(self):
+        from vdx.schedulers.common import dynamic_cfg_schedule
+
+        g = dynamic_cfg_schedule(6.0, 50)
+        assert g.shape == (50,) and g.dtype == np.float32
+        np.testing.assert_allclose(g[-1], 6.0, rtol=1e-6)  # full scale last
+        assert g[0] == pytest.approx(1.0, abs=1e-5)  # ~no CFG at pure noise
+        assert np.all(np.diff(g) >= 0)  # monotone ramp
+
     def test_ddim_trailing_spacing(self):
         cfg = ddim.DDIMConfig(timestep_spacing="trailing", steps_offset=0)
         t = ddim.make_tables(4, cfg)

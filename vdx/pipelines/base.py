@@ -719,8 +719,15 @@ class VideoDiffusionPipeline:
                 eps = unet_apply(params[dkey], model_in, t_b, *prep["den_args"])
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
-                    eps = cfg_combine(u, c, guidance_scale,
-                                      self.guidance_rescale)
+                    # rank-1 guidance = a per-STEP schedule (dynamic CFG):
+                    # index the current step's scale. Higher-rank arrays
+                    # broadcast as-is (SVD's per-frame linspace).
+                    g_i = (
+                        guidance_scale[i]
+                        if getattr(guidance_scale, "ndim", 0) == 1
+                        else guidance_scale
+                    )
+                    eps = cfg_combine(u, c, g_i, self.guidance_rescale)
                 if progress:
                     # fires per MODEL EVALUATION — under skip turbo mode a
                     # broadcast step never enters this branch, so the
@@ -984,8 +991,12 @@ class VideoDiffusionPipeline:
                         )
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
-                    eps = cfg_combine(u, c, guidance_scale,
-                                      self.guidance_rescale)
+                    g_i = (
+                        guidance_scale[i]
+                        if getattr(guidance_scale, "ndim", 0) == 1
+                        else guidance_scale
+                    )
+                    eps = cfg_combine(u, c, g_i, self.guidance_rescale)
                 return sampler.step(lat, eps, i, tables, **step_kw), new_cache
 
             # step 0: creates the cache collection
@@ -1152,6 +1163,14 @@ class VideoDiffusionPipeline:
             scheduler, num_inference_steps,
             self.variable_steps if use_var else 0,
         )
+        if use_var and getattr(guidance_arr, "ndim", 0) == 1:
+            # per-step schedule under the padded program: edge-pad to the
+            # program's step axis (padded steps never evaluate)
+            pad = self.variable_steps - guidance_arr.shape[0]
+            if pad:
+                guidance_arr = jnp.concatenate(
+                    [guidance_arr, jnp.repeat(guidance_arr[-1:], pad)]
+                )
         args = (self.params, key_arr, cond, guidance_arr, tables)
         if use_var:
             args = args + (jnp.int32(num_inference_steps),)
@@ -1264,6 +1283,13 @@ class VideoDiffusionPipeline:
             t_start = num_inference_steps - init_steps
         ds = self.vae.config.downscale
         h, w = height // ds, width // ds
+        if np.ndim(guidance_scale) == 1 and (
+            len(guidance_scale) != num_inference_steps
+        ):
+            raise ValueError(
+                f"per-step guidance schedule has {len(guidance_scale)} "
+                f"entries for {num_inference_steps} steps"
+            )
         guidance = self.guidance_always or float(np.max(guidance_scale)) > 1.0
         B = 1 if isinstance(prompt, str) else len(prompt)
         if video is not None and video.shape[0] != B:

@@ -264,6 +264,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         width: int = 720,
         num_inference_steps: int = 50,
         guidance_scale: float = 6.0,
+        dynamic_cfg: bool = False,
         seed: Union[int, jax.Array, Sequence[int]] = 0,
         output_type: str = "np",
         scheduler: Optional[str] = None,
@@ -272,6 +273,15 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
     ) -> PipelineOutput:
         assert self.params is not None
         scheduler = scheduler or self.scheduler
+        if dynamic_cfg:
+            # cosine^5 ramp 1 -> guidance_scale over the steps (the
+            # published CogVideoX use_dynamic_cfg recipe; per-step
+            # mechanism in the base denoise program)
+            from vdx.schedulers.common import dynamic_cfg_schedule
+
+            guidance_scale = dynamic_cfg_schedule(
+                float(guidance_scale), num_inference_steps
+            )
         cfg = self.vae_config
         f_lat = 1 + (num_frames - 1) // cfg.temporal_downscale
         B = 1 if isinstance(prompt, str) else len(prompt)

@@ -114,6 +114,24 @@ def timesteps_trailing(num_train: int, num_steps: int) -> np.ndarray:
     return ts.copy()
 
 
+def dynamic_cfg_schedule(guidance_scale: float, num_steps: int) -> np.ndarray:
+    """Cosine^5 dynamic-CFG ramp (the CogVideoX recipe): guidance starts at
+    1 (no CFG while the trajectory is pure noise) and ramps to
+    ``guidance_scale`` by the final step,
+
+        g_i = 1 + (g - 1) * (1 - cos(pi * ((i+1)/N)^5)) / 2
+
+    so early high-sigma steps are barely guided and detail-setting late
+    steps get the full scale. Returns an [N] fp32 array for the pipelines'
+    per-step guidance surface (``pipe(prompt, guidance_scale=schedule)``).
+    The ramp's constant convention re-validates against the published
+    pipeline on real-weights day; the per-step mechanism is exact.
+    """
+    i = np.arange(1, num_steps + 1, dtype=np.float64)
+    ramp = 1.0 - np.cos(np.pi * (i / num_steps) ** 5.0)
+    return (1.0 + (guidance_scale - 1.0) * ramp / 2.0).astype(np.float32)
+
+
 def cfg_combine(
     uncond: jnp.ndarray,
     cond: jnp.ndarray,
