@@ -6,13 +6,16 @@ the single-chip datapoint (round 1: 63.4 s) with the current kernel stack.
 Methodology per PERF.md: fresh image per timed run, host materialisation,
 compile excluded (first call), bf16 production config.
 
-Usage: python -u scripts/bench_svd_northstar.py [runs] [pab|skip[:thr]]
+Usage: python -u scripts/bench_svd_northstar.py [runs] [pab|skip[:thr]|dpm[:N]]
   optional 2nd arg "pab" measures the PAB turbo schedule (temporal-only —
   the all-sites cache OOMs at this resolution) instead of exact mode;
   "skip" / "skip:0.12" measures the adaptive step-skip turbo mode (whole
   model evaluations reused under the drift threshold — carry is 2 extra
   fp32 latent buffers, no attention cache, so it FITS at 576x1024 where
-  all-sites PAB cannot).
+  all-sites PAB cannot);
+  "dpm" / "dpm:12" measures the EXACT-CLASS fast sampler — DPM-Solver++
+  (2M) on the EDM grid at N steps (12 steps >= 25-step Euler trajectory
+  accuracy, measured: PERF.md / scripts/bench_svd_sampler.py).
 """
 
 import sys
@@ -54,6 +57,10 @@ def main():
 
         thr = float(mode.split(":")[1]) if ":" in mode else 0.12
         skip = SkipConfig(threshold=thr, warmup_steps=3, cooldown_steps=3)
+    scheduler, steps = "edm", 25
+    if mode.startswith("dpm"):
+        scheduler = "dpm_edm"
+        steps = int(mode.split(":")[1]) if ":" in mode else 12
     print("backend:", jax.default_backend(), "mode:", mode, flush=True)
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
@@ -72,7 +79,8 @@ def main():
         rng = np.random.default_rng(i)
         return rng.random((576, 1024, 3)).astype(np.float32)
 
-    kw = dict(num_frames=25, height=576, width=1024, num_inference_steps=25,
+    kw = dict(num_frames=25, height=576, width=1024,
+              num_inference_steps=steps, scheduler=scheduler,
               decode_chunk=5, seed=3, output_type="np")
     t0 = time.time()
     out = pipe(fresh(0), **kw)

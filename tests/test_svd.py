@@ -116,6 +116,32 @@ class TestSVDPipeline:
         # 384-step reference) — 0.65 bounds both methodologies
         assert e_dpm < 0.65 * e_euler, (e_dpm, e_euler)
 
+    def test_dpm_edm_frame_sharded_matches_local(self, tiny_svd):
+        """The dpm multistep carry rides the frame-sharded (Ulysses) scan:
+        SVDImg2VidPipeline(frame_shards=4) with scheduler="dpm_edm" matches
+        the unsharded pipeline (the 8-chip headline path, PERF.md)."""
+        from vdx.core.dtypes import FP32_POLICY
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.models.vae import VAEConfig
+
+        sharded = SVDImg2VidPipeline.with_random_params(
+            seed=0,
+            unet_config=SVDUNetConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            policy=FP32_POLICY,
+            frame_shards=4,
+        )
+        rng = np.random.default_rng(5)
+        image = rng.random((64, 64, 3)).astype(np.float32)
+        kw = dict(num_frames=4, height=64, width=64, num_inference_steps=3,
+                  seed=6, decode_chunk=1, scheduler="dpm_edm")
+        a = tiny_svd(image, **kw).frames[0]
+        b = sharded(image, **kw).frames[0]
+        diff = np.abs(a.astype(int) - b.astype(int))
+        assert diff.max() <= 1  # fp32 collective reduction order
+
     def test_deterministic(self, tiny_svd):
         rng = np.random.default_rng(1)
         image = rng.random((64, 64, 3)).astype(np.float32)
