@@ -93,13 +93,36 @@ class TestSkip:
             assert not np.array_equal(a, b)  # it skipped work
             assert err_turbo < 0.25 * err_other, (err_turbo, err_other)
 
-    def test_dpm_rejected(self, exact_pipe):
+    def test_dpm_composes(self, exact_pipe):
+        """skip + dpm multistep: the prev_x0 slot rides the skip carry. At
+        threshold 0 every step evaluates and the output matches the plain
+        dpm pipeline to cross-program fusion noise (the skip scan's extra
+        carry reorders fp32 fusions — ±1 uint8 on <0.1% of pixels, same
+        bound as the suite's other cross-program comparisons); at a high
+        threshold steps are skipped (the reused model output still yields
+        a consistent x0 at each node)."""
+        plain = AnimateDiffPipeline(**{**KW, "scheduler": "dpm"})
+        plain.params = exact_pipe.params
+        ref = plain(PROMPT, **GEN).frames[0]
+
         turbo = AnimateDiffPipeline(
-            skip=SkipConfig(), **{**KW, "scheduler": "dpm"}
+            skip=SkipConfig(threshold=0.0), **{**KW, "scheduler": "dpm"}
         )
         turbo.params = exact_pipe.params
-        with pytest.raises(ValueError, match="skip"):
-            turbo(PROMPT, **GEN)
+        out = turbo(PROMPT, **GEN)
+        assert int(out.n_evals) == GEN["num_inference_steps"]
+        diff = np.abs(out.frames[0].astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+            diff.max(), (diff > 0).mean())
+
+        lazy = AnimateDiffPipeline(
+            skip=SkipConfig(threshold=1e6), **{**KW, "scheduler": "dpm"}
+        )
+        lazy.params = exact_pipe.params
+        out2 = lazy(PROMPT, **GEN)
+        # only warmup + cooldown evaluate under an unreachable threshold
+        assert int(out2.n_evals) < GEN["num_inference_steps"]
+        assert np.isfinite(out2.frames[0].astype(np.float64)).all()
 
     def test_pab_and_skip_mutually_exclusive(self):
         from vdx.pipelines import PABConfig

@@ -25,7 +25,7 @@ import numpy as np
 from vdx.core.rng import as_key
 from vdx.harness.config import ExperimentConfig
 from vdx.io.frames import export_to_gif, save_frames
-from vdx.schedulers import get_sampler
+from vdx.schedulers import get_sampler, make_tables_for
 from vdx.schedulers.common import cfg_combine
 
 
@@ -47,13 +47,9 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
     # honor the pipeline's checkpoint-faithful sampling constants
     # (prediction type / beta schedule / SNR shift), exactly like the
     # pipeline's own compiled core
-    _cfg = pipe._sampler_cfg(scheduler) if hasattr(pipe, "_sampler_cfg") else None
+    _cfg = pipe._sampler_cfg(scheduler)
     step_kw = {} if _cfg is None else {"cfg": _cfg}
-    tables = (
-        sampler.make_tables(num_steps, _cfg)
-        if _cfg is not None
-        else sampler.make_tables(num_steps)
-    )
+    tables = make_tables_for(scheduler, num_steps, _cfg)
     unet = pipe.unet
     is_dpm = scheduler.startswith("dpm")
     rescale = getattr(pipe, "guidance_rescale", 0.0)

@@ -55,7 +55,7 @@ from vdx.models.clip_text import CLIPTextConfig, CLIPTextModel
 from vdx.models.tokenizer import load_tokenizer
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.models.vae import AutoencoderKL, VAEConfig
-from vdx.schedulers import get_sampler
+from vdx.schedulers import get_sampler, make_tables_for
 from vdx.schedulers.common import cfg_combine, pad_tables
 
 
@@ -574,8 +574,28 @@ class VideoDiffusionPipeline:
     # ------------------------------------------------------------------
     def _sampler_cfg(self, scheduler: str):
         """The pipeline's config override for this sampler (or None for the
-        module defaults — the SD-1.5 reference semantics)."""
-        return self.sampler_configs.get(scheduler)
+        module defaults — the SD-1.5 reference semantics). A family that
+        SET faithful constants warns when a sampler without one is chosen:
+        sampling a v-prediction model with epsilon defaults is silently
+        wrong, not an error."""
+        cfg = self.sampler_configs.get(scheduler)
+        if cfg is None and self.sampler_configs:
+            warned = getattr(self, "_warned_sampler_cfg", set())
+            if scheduler not in warned:
+                import warnings
+
+                warnings.warn(
+                    f"{type(self).__name__} has checkpoint-faithful "
+                    f"configs for {sorted(self.sampler_configs)} but none "
+                    f"for scheduler={scheduler!r}; falling back to the "
+                    "sampler module's SD-1.5 defaults (epsilon prediction, "
+                    "linear betas) — pass sampler_configs={...} if that is "
+                    "not what this checkpoint was trained with",
+                    stacklevel=3,
+                )
+                warned.add(scheduler)
+                self._warned_sampler_cfg = warned
+        return cfg
 
     def _get_tables(self, scheduler: str, num_steps: int, max_steps: int = 0):
         """Device-resident scheduler tables, cached per signature.
@@ -586,14 +606,9 @@ class VideoDiffusionPipeline:
         cfg = self._sampler_cfg(scheduler)
         key = ("tables", scheduler, num_steps, max_steps, cfg)
         if key not in self._compiled:
-            sampler = get_sampler(scheduler)
-            tables = (
-                sampler.make_tables(num_steps, cfg)
-                if cfg is not None
-                else sampler.make_tables(num_steps)
-            )
             self._compiled[key] = pad_tables(
-                tables, num_steps, max_steps or num_steps
+                make_tables_for(scheduler, num_steps, cfg),
+                num_steps, max_steps or num_steps,
             )
         return self._compiled[key]
 
@@ -669,11 +684,6 @@ class VideoDiffusionPipeline:
         if variable:
             assert self.pab is None, "PAB program is per-step-count"
             assert skip is None, "skip programs are static per step count"
-        if skip is not None:
-            assert not is_dpm, (
-                "skip turbo mode supports ddim/euler/edm samplers (dpm's "
-                "multistep state assumes every step was evaluated)"
-            )
         v2v = encode_fn is not None
         if v2v:
             assert not variable and not is_dpm, (
@@ -749,7 +759,15 @@ class VideoDiffusionPipeline:
                 thresh = jnp.float32(skip.threshold)
 
                 def body(carry, i):
-                    lat, prev_eps, prev_sig, accum = carry
+                    # is_dpm: the multistep (prev_x0) slot rides the carry;
+                    # a skipped step reuses the MODEL OUTPUT but still takes
+                    # a full multistep update — x0 at the current node is
+                    # recomputed from the reused output, so the solver's
+                    # history stays consistent with the nodes it visited.
+                    if is_dpm:
+                        lat, prev_eps, prev_sig, accum, prev_x0 = carry
+                    else:
+                        lat, prev_eps, prev_sig, accum = carry
                     # trajectory-change signal: relative L1 drift of the
                     # sampler-scaled latents since the last evaluated step
                     sig = sampler.scale_model_input(lat, i, tables).astype(
@@ -771,17 +789,24 @@ class VideoDiffusionPipeline:
                         lat,
                     )
                     accum = jnp.where(do_eval, jnp.float32(0.0), accum)
+                    if is_dpm:
+                        lat, x0 = sampler.step_multistep(
+                            lat, eps, i, prev_x0, tables, **step_kw
+                        )
+                        return (lat, eps, sig, accum, x0), do_eval
                     lat = sampler.step(lat, eps, i, tables, **step_kw)
                     return (lat, eps, sig, accum), do_eval
 
                 zeros = jnp.zeros(latents.shape, jnp.float32)
-                (out, _, _, _), evals = jax.lax.scan(
-                    body, (latents, zeros, zeros, jnp.float32(0.0)),
-                    jnp.arange(t_start, num_steps),
+                init = (latents, zeros, zeros, jnp.float32(0.0))
+                if is_dpm:
+                    init = init + (jnp.zeros_like(latents),)
+                res, evals = jax.lax.scan(
+                    body, init, jnp.arange(t_start, num_steps)
                 )
                 # device-computed eval count: observable on backends with
                 # no host-callback support (the axon tunnel)
-                return out, jnp.sum(evals.astype(jnp.int32))
+                return res[0], jnp.sum(evals.astype(jnp.int32))
 
             if is_dpm:
                 # multistep: the carry threads (latents, prev_x0). Under
@@ -1137,11 +1162,6 @@ class VideoDiffusionPipeline:
             chunk -= 1
 
         v2v = video is not None
-        if self.skip is not None and scheduler.startswith("dpm"):
-            raise ValueError(
-                "skip turbo mode supports ddim/euler/edm samplers (dpm's "
-                "multistep state assumes every step was evaluated)"
-            )
         use_var = (
             self.variable_steps > 0
             and self.pab is None
@@ -1163,14 +1183,23 @@ class VideoDiffusionPipeline:
             scheduler, num_inference_steps,
             self.variable_steps if use_var else 0,
         )
-        if use_var and getattr(guidance_arr, "ndim", 0) == 1:
-            # per-step schedule under the padded program: edge-pad to the
-            # program's step axis (padded steps never evaluate)
-            pad = self.variable_steps - guidance_arr.shape[0]
-            if pad:
-                guidance_arr = jnp.concatenate(
-                    [guidance_arr, jnp.repeat(guidance_arr[-1:], pad)]
+        if getattr(guidance_arr, "ndim", 0) == 1:
+            # rank-1 guidance = per-STEP schedule (dynamic CFG). Validate
+            # HERE — the shared path every family's __call__ routes through
+            # (an out-of-range gather would silently clamp, not raise).
+            if guidance_arr.shape[0] != num_inference_steps:
+                raise ValueError(
+                    f"per-step guidance schedule has {guidance_arr.shape[0]} "
+                    f"entries for {num_inference_steps} steps"
                 )
+            if use_var:
+                # padded program: edge-pad to the program's step axis
+                # (padded steps never evaluate)
+                pad = self.variable_steps - guidance_arr.shape[0]
+                if pad:
+                    guidance_arr = jnp.concatenate(
+                        [guidance_arr, jnp.repeat(guidance_arr[-1:], pad)]
+                    )
         args = (self.params, key_arr, cond, guidance_arr, tables)
         if use_var:
             args = args + (jnp.int32(num_inference_steps),)
@@ -1283,13 +1312,6 @@ class VideoDiffusionPipeline:
             t_start = num_inference_steps - init_steps
         ds = self.vae.config.downscale
         h, w = height // ds, width // ds
-        if np.ndim(guidance_scale) == 1 and (
-            len(guidance_scale) != num_inference_steps
-        ):
-            raise ValueError(
-                f"per-step guidance schedule has {len(guidance_scale)} "
-                f"entries for {num_inference_steps} steps"
-            )
         guidance = self.guidance_always or float(np.max(guidance_scale)) > 1.0
         B = 1 if isinstance(prompt, str) else len(prompt)
         if video is not None and video.shape[0] != B:

@@ -96,19 +96,24 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
             # Override per checkpoint via ``sampler_configs``.
             from vdx.schedulers.common import ScheduleConfig
             from vdx.schedulers.ddim import DDIMConfig
+            from vdx.schedulers.dpm import DPMConfig
 
+            _sched = ScheduleConfig(
+                beta_schedule="scaled_linear",
+                prediction_type="v_prediction",
+                snr_shift_scale=3.0,
+                rescale_zero_snr=True,
+            )
             sampler_configs = {
                 "ddim": DDIMConfig(
-                    schedule=ScheduleConfig(
-                        beta_schedule="scaled_linear",
-                        prediction_type="v_prediction",
-                        snr_shift_scale=3.0,
-                        rescale_zero_snr=True,
-                    ),
+                    schedule=_sched,
                     steps_offset=0,
                     set_alpha_to_one=True,
                     timestep_spacing="trailing",
-                )
+                ),
+                # the family's published fast sampler (CogVideoXDPMScheduler
+                # semantics: same schedule through DPM-Solver++(2M))
+                "dpm": DPMConfig(schedule=_sched, steps_offset=0),
             }
         self._init_core(
             dit_config, policy=policy, scheduler=scheduler,

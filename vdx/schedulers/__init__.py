@@ -30,6 +30,18 @@ def get_sampler(name: str):
         ) from None
 
 
+def make_tables_for(name: str, num_steps: int, cfg=None):
+    """``make_tables`` honoring an optional per-pipeline config override
+    (None = the sampler module's defaults, the SD-1.5 reference semantics).
+    The single spot for the override conditional — pipelines, the PAB
+    program, and the batched harness all route through it."""
+    sampler = get_sampler(name)
+    if cfg is None:
+        return sampler.make_tables(num_steps)
+    return sampler.make_tables(num_steps, cfg)
+
+
 __all__ = [
-    "ddim", "euler", "dpm", "edm", "dpm_edm", "get_sampler", "ScheduleConfig",
+    "ddim", "euler", "dpm", "edm", "dpm_edm", "get_sampler",
+    "make_tables_for", "ScheduleConfig",
 ]

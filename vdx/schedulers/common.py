@@ -80,6 +80,13 @@ def make_alphas_cumprod(cfg: ScheduleConfig) -> np.ndarray:
         s = float(cfg.snr_shift_scale)
         acp = acp / (s - (s - 1.0) * acp)
     if cfg.rescale_zero_snr:
+        if cfg.prediction_type == "epsilon":
+            raise ValueError(
+                "rescale_zero_snr makes the terminal alphas_cumprod exactly "
+                "0; epsilon prediction divides x0 recovery by sqrt(acp) and "
+                "would silently produce NaN — use prediction_type="
+                "'v_prediction' (Lin et al. 2023 §4) or 'sample'"
+            )
         # affine map on sqrt(acp): terminal -> exactly 0, first preserved
         sq = np.sqrt(acp)
         sq = (sq - sq[-1]) * (sq[0] / (sq[0] - sq[-1]))
@@ -108,10 +115,16 @@ def timesteps_linspace(num_train: int, num_steps: int) -> np.ndarray:
 
 
 def timesteps_trailing(num_train: int, num_steps: int) -> np.ndarray:
-    """'trailing' spacing: arange(T, 0, -T/n).round() - 1."""
-    step = num_train / num_steps
-    ts = np.round(np.arange(num_train, 0, -step)).astype(np.int32) - 1
-    return ts.copy()
+    """'trailing' spacing: round(T - i*T/n) - 1 for i in [0, n).
+
+    Same grid as the textbook ``arange(T, 0, -T/n).round() - 1`` but with
+    an integer-length construction: the float-step arange emits n+1 entries
+    (trailing t = -1) for ~6% of step counts (n = 61, 103, 121, ...), which
+    silently broke the [N] table-shape contract downstream.
+    """
+    i = np.arange(num_steps, dtype=np.float64)
+    ts = np.round(num_train - i * (num_train / num_steps)).astype(np.int32) - 1
+    return ts
 
 
 def dynamic_cfg_schedule(guidance_scale: float, num_steps: int) -> np.ndarray:
