@@ -6,6 +6,7 @@ from vdx.pipelines.base import (
     VideoDiffusionPipeline,
 )
 from vdx.pipelines.cogvideox import CogVideoXPipeline
+from vdx.pipelines.context import ContextConfig
 from vdx.pipelines.latte import LattePipeline
 from vdx.pipelines.svd import SVDImg2VidPipeline
 from vdx.pipelines.text_to_video_ms import TextToVideoMSPipeline
@@ -15,6 +16,7 @@ __all__ = [
     "PABConfig",
     "PipelineOutput",
     "SkipConfig",
+    "ContextConfig",
     "VideoDiffusionPipeline",
     "CogVideoXPipeline",
     "LattePipeline",

@@ -55,6 +55,9 @@ from vdx.models.clip_text import CLIPTextConfig, CLIPTextModel
 from vdx.models.tokenizer import load_tokenizer
 from vdx.models.unet_motion import UNetMotion, UNetMotionConfig
 from vdx.models.vae import AutoencoderKL, VAEConfig
+from vdx.pipelines.context import (
+    ContextConfig, make_freenoise_maker, make_windowed_apply,
+)
 from vdx.schedulers import get_sampler, make_tables_for
 from vdx.schedulers.common import cfg_combine, pad_tables
 
@@ -136,6 +139,9 @@ class VideoDiffusionPipeline:
     guidance_always = False
     #: whether the denoiser supports frame sharding (``temporal_impl`` knob)
     supports_frame_shards = True
+    #: whether the denoiser's frame axis can be sliced into context windows
+    #: (False for token-packed DiTs whose conditioning is frame-entangled)
+    supports_context = True
 
     def __init__(
         self,
@@ -149,6 +155,7 @@ class VideoDiffusionPipeline:
         attn_impl: str = "auto",
         pab: "PABConfig | None" = None,
         skip: "SkipConfig | None" = None,
+        context: "ContextConfig | None" = None,
         frame_shards: int = 1,
         seq_impl: str = "ulysses",
         mesh=None,
@@ -168,7 +175,8 @@ class VideoDiffusionPipeline:
         self.params = params
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=pab, skip=skip, frame_shards=frame_shards,
+            attn_impl=attn_impl, pab=pab, skip=skip, context=context,
+            frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
             sampler_configs=sampler_configs,
@@ -176,8 +184,8 @@ class VideoDiffusionPipeline:
 
     def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
                    pab, frame_shards, mesh, variable_steps, progress,
-                   seq_impl="ulysses", skip=None, guidance_rescale=0.0,
-                   sampler_configs=None):
+                   seq_impl="ulysses", skip=None, context=None,
+                   guidance_rescale=0.0, sampler_configs=None):
         """Shared compiled-machinery state — called by every family's
         ``__init__`` after it builds its components."""
         self.policy = policy
@@ -195,6 +203,30 @@ class VideoDiffusionPipeline:
                 "programs — pick one"
             )
         self.skip = skip
+        # Temporal context windows (long-clip generation): each denoiser
+        # evaluation runs per overlapping fixed-length frame window and
+        # blends (pipelines/context.py). Applies only when a request's
+        # num_frames exceeds the window; shorter clips run the exact
+        # context-free program.
+        self.context = context
+        if context is not None:
+            if not self.supports_context:
+                raise ValueError(
+                    f"{type(self).__name__} denoiser packs frames into "
+                    "tokens — temporal context windows do not apply"
+                )
+            if pab is not None:
+                raise ValueError(
+                    "context windows and PAB are incompatible: PAB's "
+                    "attention caches are sized per model call, and each "
+                    "window would clobber the previous window's cache"
+                )
+            if frame_shards > 1:
+                raise ValueError(
+                    "context windows and frame_shards are incompatible: "
+                    "the frame-sharded denoiser owns the frame-axis "
+                    "layout (windows would slice across shards)"
+                )
         # CFG std-rescale (Lin et al. overexposure fix) — a deployment-level
         # constant baked into the denoise program (schedulers.common.
         # cfg_combine); 0.0 = plain CFG, the reference's behaviour
@@ -693,6 +725,18 @@ class VideoDiffusionPipeline:
         mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
+        # long-clip mode: requests longer than the context window evaluate
+        # the denoiser per overlapping window and blend; shorter requests
+        # fall through to the exact context-free program
+        if self.context is not None and latent_shape[1] > self.context.frames:
+            unet_apply = make_windowed_apply(
+                unet_apply, total_frames=latent_shape[1],
+                out_channels=self.latent_channels, cfg=self.context,
+            )
+            if self.context.freenoise:
+                make_noise = make_freenoise_maker(
+                    latent_shape, self.context.frames
+                )
         progress = self._progress_enabled()
 
         def denoise(params, key, cond, guidance_scale, tables, n=None,
@@ -1085,6 +1129,7 @@ class VideoDiffusionPipeline:
                self.pab is not None, self._progress_enabled(),
                t_start, encode_chunk,
                dataclasses.astuple(self.skip) if self.skip else None,
+               dataclasses.astuple(self.context) if self.context else None,
                self.guidance_rescale,
                self._sampler_cfg(scheduler))  # cfg branches the traced step
         if key in self._compiled:

@@ -45,6 +45,9 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
     denoiser_param_key = "dit"
     guidance_always = True
     supports_frame_shards = False  # joint text+video attention (see module doc)
+    #: joint attention entangles every frame with the text tokens — a frame
+    #: window would silently change what the text attends over
+    supports_context = False
 
     def __init__(
         self,

@@ -65,6 +65,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         scheduler: str = "edm",
         pab=None,
         skip=None,
+        context=None,
         frame_shards: int = 1,
         seq_impl: str = "ulysses",
         mesh=None,
@@ -83,7 +84,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         self.params = params
         self._init_core(
             unet_config, policy=policy, scheduler=scheduler,
-            attn_impl=attn_impl, pab=pab, skip=skip,
+            attn_impl=attn_impl, pab=pab, skip=skip, context=context,
             frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
