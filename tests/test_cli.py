@@ -115,3 +115,39 @@ class TestExperimentCLIs:
         assert r.returncode == 0, r.stderr[-2000:]
         gifs = list((tmp_path / "out").glob("*.gif"))
         assert len(gifs) == 6  # the six reference prompts
+
+
+class TestPackageCLI:
+    """The installed-package `vdx` console command (vdx/cli.py,
+    pyproject [project.scripts]) — package-native counterparts of the
+    reference's `python experiments/NN_*.py` invocations."""
+
+    def test_help_lists_commands(self):
+        from vdx import cli
+
+        assert cli.main([]) == 0
+        assert cli.main(["nope"]) == 2
+
+    def test_generate_tiny_long_clip(self, tmp_path):
+        """`vdx generate --tiny --context 4` — the long-clip surface from
+        the console (6 frames through a 4-frame window)."""
+        from vdx import cli
+
+        rc = cli.main([
+            "generate", "a corgi", "--tiny", "--num-frames", "6",
+            "--steps", "2", "--height", "64", "--width", "64",
+            "--context", "4", "--output", str(tmp_path),
+        ])
+        assert rc == 0
+        assert (tmp_path / "video.gif").exists()
+        assert len(list((tmp_path / "frames").glob("*.png"))) == 6
+
+    def test_analyze_routes_to_basic(self, tmp_path, reference_root):
+        from vdx import cli
+
+        src = (reference_root /
+               "outputs/06_grid_search_metrics/grid_search_results.json")
+        rc = cli.main(["analyze", "--input", str(src),
+                       "--output", str(tmp_path)])
+        assert rc == 0
+        assert list(tmp_path.glob("*.csv"))
