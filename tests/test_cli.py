@@ -151,3 +151,36 @@ class TestPackageCLI:
                        "--output", str(tmp_path)])
         assert rc == 0
         assert list(tmp_path.glob("*.csv"))
+
+    def test_train_full_then_lora(self, tmp_path):
+        """`vdx train --tiny` — the fine-tuning loop from the console:
+        clips -> VAE latents -> train steps -> Orbax checkpoint (full UNet
+        with EMA; then a rank-4 LoRA adapter)."""
+        import numpy as np
+        from PIL import Image
+
+        from vdx import cli
+
+        data = tmp_path / "clips"
+        rng = np.random.default_rng(0)
+        for name, n in [("vid_a", 6), ("vid_b", 8)]:
+            d = data / name
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"frame_{i:03d}.png")
+
+        common = ["--data", str(data), "--tiny", "--batch", "2",
+                  "--clip-frames", "4", "--size", "64", "--warmup", "1",
+                  "--log-every", "1"]
+        rc = cli.main(["train", *common, "--steps", "3", "--ema", "0.99",
+                       "--accum", "2", "--remat",
+                       "--out", str(tmp_path / "full")])
+        assert rc == 0
+        assert (tmp_path / "full" / "checkpoint").is_dir()
+        assert (tmp_path / "full" / "ema").is_dir()
+
+        rc = cli.main(["train", *common, "--steps", "2", "--lora", "4",
+                       "--out", str(tmp_path / "lora_run")])
+        assert rc == 0
+        assert (tmp_path / "lora_run" / "lora").is_dir()

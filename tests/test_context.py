@@ -234,3 +234,26 @@ class TestContextPipeline:
 
         with pytest.raises(ValueError, match="context windows"):
             NoCtx.with_random_params(seed=0, context=CTX, **KW)
+
+
+class TestSVDContext:
+    def test_svd_long_img2vid(self):
+        """SVD accepts context windows: the per-frame image-latent concat
+        rides the model input and is windowed with it (img2vid beyond the
+        trained 25-frame span)."""
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.pipelines import SVDImg2VidPipeline
+
+        pipe = SVDImg2VidPipeline.with_random_params(
+            seed=0,
+            unet_config=SVDUNetConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            vision_config=CLIPVisionConfig.tiny(),
+            policy=FP32_POLICY,
+            context=ContextConfig(frames=4, stride=2),
+        )
+        image = np.random.default_rng(0).random((64, 64, 3)).astype(np.float32)
+        out = pipe(image, num_frames=7, height=64, width=64,
+                   num_inference_steps=2, seed=3, decode_chunk=2)
+        assert len(out.frames[0]) == 7
