@@ -56,7 +56,7 @@ class TestPipeline:
         assert not np.array_equal(a, b)
 
     def test_all_schedulers_run(self, tiny_pipe):
-        for sched in ["euler", "ddim", "dpm"]:
+        for sched in ["euler", "ddim", "dpm", "unipc"]:
             out = tiny_pipe("portrait", scheduler=sched, output_type="np", **GEN_KWARGS)
             assert out.frames[0].shape == (4, 64, 64, 3)
 
@@ -148,7 +148,8 @@ class TestVariableSteps:
             pipe("portrait", guidance_scale=[7.5] * 4, **gen)
 
     def test_dpm_multistep_under_variable_steps(self):
-        """The dpm multistep carry (latents, prev_x0) rides the padded
+        """The multistep carry — a sampler-owned pytree from init_state
+        (dpm: prev_x0; unipc: (x0_prev, sample_prev)) — rides the padded
         cond-skip scan too: variable == static per step count, including
         the terminal lower_order_final step (detected by the padded
         table's sigma value, not a static index)."""
@@ -168,15 +169,16 @@ class TestVariableSteps:
         var = AnimateDiffPipeline.with_random_params(
             seed=0, variable_steps=4, **kw
         )
-        gen = dict(num_frames=2, height=64, width=64, output_type="np",
-                   scheduler="dpm")
-        for steps in (2, 4):
-            a = static("portrait", num_inference_steps=steps, seed=9,
-                       **gen).frames[0]
-            b = var("portrait", num_inference_steps=steps, seed=9,
-                    **gen).frames[0]
-            diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
-            assert diff.max() <= 1, (steps, diff.max())
+        for sched in ("dpm", "unipc"):
+            gen = dict(num_frames=2, height=64, width=64, output_type="np",
+                       scheduler=sched)
+            for steps in (2, 4):
+                a = static("portrait", num_inference_steps=steps, seed=9,
+                           **gen).frames[0]
+                b = var("portrait", num_inference_steps=steps, seed=9,
+                        **gen).frames[0]
+                diff = np.abs(a.astype(np.int16) - b.astype(np.int16))
+                assert diff.max() <= 1, (sched, steps, diff.max())
 
 
 class TestVideoToVideo:
@@ -290,8 +292,10 @@ class TestVideoToVideo:
         vid = self._video()
         with pytest.raises(ValueError, match="strength"):
             tiny_pipe("portrait", video=vid, strength=0.0, **self.V2V)
-        with pytest.raises(ValueError, match="dpm"):
+        with pytest.raises(ValueError, match="multistep"):
             tiny_pipe("portrait", video=vid, scheduler="dpm", **self.V2V)
+        with pytest.raises(ValueError, match="multistep"):
+            tiny_pipe("portrait", video=vid, scheduler="unipc", **self.V2V)
         with pytest.raises(ValueError, match="video batch"):
             tiny_pipe(["a", "b"], video=vid, **self.V2V)
 

@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler
+from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler, unipc
 from vdx.schedulers.common import (
     ScheduleConfig,
     make_alphas_cumprod,
@@ -360,3 +360,94 @@ class TestScanCompatibility:
         for i in range(25):
             x_loop = ddim.step(x_loop, eps, jnp.asarray(i), t)
         np.testing.assert_allclose(out_scan, x_loop, rtol=1e-4, atol=1e-4)
+
+
+class TestUniPC:
+    """UniPC order-2 predictor-corrector (schedulers/unipc.py)."""
+
+    def test_tables_match_dpm_grid(self):
+        a, b = unipc.make_tables(14), dpm.make_tables(14)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    def test_chain_recovers_x0_with_oracle(self):
+        """Constant-x0 oracle: the exponential integrator is exact for
+        constant x0, so the chain lands on x0 to float noise — tighter
+        than the dpm test's 1e-2 (the corrector contributes nothing here
+        but must not perturb)."""
+        key = jax.random.PRNGKey(11)
+        x0 = jax.random.normal(key, (1, 4, 4, 4))
+        t = unipc.make_tables(20)
+        eps0 = jax.random.normal(jax.random.fold_in(key, 3), (1, 4, 4, 4))
+        a0 = t.alpha_prod[0]
+        x = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * eps0
+        state = unipc.init_state(x)
+        for i in range(20):
+            a = t.alpha_prod[i]
+            eps_i = (x - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+            x, state = unipc.step_multistep(x, eps_i, jnp.asarray(i), state, t)
+        np.testing.assert_allclose(x, x0, atol=1e-3)
+
+    @staticmethod
+    def _integrate(mod, n, x_init, corrector=True):
+        t = mod.make_tables(n)
+
+        def oracle(x, i):
+            # nonlinear ODE in x0-space: implied x0 = tanh(x)
+            a = t.alpha_prod[i]
+            return (x - jnp.sqrt(a) * jnp.tanh(x)) / jnp.sqrt(1 - a)
+
+        x = x_init * float(t.init_noise_sigma)
+        state = mod.init_state(x)
+        kw = ({"cfg": unipc.UniPCConfig(corrector=corrector)}
+              if mod is unipc else {})
+        for i in range(n):
+            x, state = mod.step_multistep(
+                x, oracle(x, jnp.asarray(i)), jnp.asarray(i), state, t, **kw
+            )
+        return x
+
+    def test_corrector_tightens_and_beats_dpm(self):
+        """On a nonlinear oracle ODE (reference: an INDEPENDENT solver,
+        128-step dpm — error floor ~1e-3 vs the ~0.03 signals):
+        (a) error shrinks >= 2x per step-count doubling (the integer DDPM
+        grid's uneven lambda gaps cap the observed rate below the clean
+        4x the Karras-grid dpm_edm test sees — dpm measures the same here),
+        (b) the UniC corrector strictly beats corrector-off,
+        (c) UniPC <= DPM-Solver++(2M) error at equal evals (measured
+        strictly better at 8/16/32 on this seed: .0914/.0334/.0189 vs
+        .0959/.0490/.0302)."""
+        key = jax.random.PRNGKey(5)
+        x_init = jax.random.normal(key, (1, 2, 4, 4, 2))
+        ref = self._integrate(dpm, 128, x_init)
+        scale = float(jnp.mean(jnp.abs(ref)))
+
+        def err(mod, n, **kw):
+            out = self._integrate(mod, n, x_init, **kw)
+            return float(jnp.mean(jnp.abs(out - ref))) / scale
+
+        e8, e16 = err(unipc, 8), err(unipc, 16)
+        assert e16 < e8 / 2.0, (e8, e16)
+        e8_nc = err(unipc, 8, corrector=False)
+        assert e8 < e8_nc, (e8, e8_nc)
+        for n in (8, 16):
+            assert err(unipc, n) < 1.05 * err(dpm, n), n
+
+    def test_variable_steps_terminal_guard(self):
+        """Padded tables (edge-repeat) keep the sigma-value terminal
+        detection correct: running n<max steps through padded tables equals
+        the unpadded n-step chain."""
+        from vdx.schedulers.common import pad_tables
+
+        n, mx = 6, 10
+        t_pad = pad_tables(unipc.make_tables(n), n, mx)
+        t = unipc.make_tables(n)
+        key = jax.random.PRNGKey(2)
+        x = jax.random.normal(key, (1, 3, 3, 2))
+        xa, sa = x, unipc.init_state(x)
+        xb, sb = x, unipc.init_state(x)
+        for i in range(n):
+            f = jnp.tanh(xa)
+            xa, sa = unipc.step_multistep(xa, f, jnp.asarray(i), sa, t)
+            xb, sb = unipc.step_multistep(xb, f, jnp.asarray(i), sb, t_pad)
+        np.testing.assert_allclose(xa, xb, rtol=1e-6)

@@ -265,3 +265,23 @@ class TestTurboBatchingGuard:
         pipe2 = AnimateDiffPipeline(pab=PABConfig(), **KW)
         with _pytest.raises(ValueError, match="turbo"):
             _batched_denoise_fn(pipe2, 4, (1, 2, 8, 8, 4), "ddim")
+
+
+class TestSkipUniPC:
+    def test_skip_composes_with_unipc(self, exact_pipe):
+        """UniPC's pytree multistep state ((x0_prev, sample_prev)) rides
+        the skip carry opaquely: threshold 0 == the plain unipc program
+        (same ±1-uint8 fusion-noise bound as the dpm composition)."""
+        plain = AnimateDiffPipeline(**{**KW, "scheduler": "unipc"})
+        plain.params = exact_pipe.params
+        ref = plain(PROMPT, **GEN).frames[0]
+
+        turbo = AnimateDiffPipeline(
+            skip=SkipConfig(threshold=0.0), **{**KW, "scheduler": "unipc"}
+        )
+        turbo.params = exact_pipe.params
+        out = turbo(PROMPT, **GEN)
+        assert int(out.n_evals) == GEN["num_inference_steps"]
+        diff = np.abs(out.frames[0].astype(int) - ref.astype(int))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+            diff.max(), (diff > 0).mean())

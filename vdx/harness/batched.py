@@ -25,7 +25,7 @@ import numpy as np
 from vdx.core.rng import as_key
 from vdx.harness.config import ExperimentConfig
 from vdx.io.frames import export_to_gif, save_frames
-from vdx.schedulers import get_sampler, make_tables_for
+from vdx.schedulers import get_sampler, is_multistep, make_tables_for
 from vdx.schedulers.common import cfg_combine
 
 
@@ -51,7 +51,7 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
     step_kw = {} if _cfg is None else {"cfg": _cfg}
     tables = make_tables_for(scheduler, num_steps, _cfg)
     unet = pipe.unet
-    is_dpm = scheduler.startswith("dpm")
+    is_dpm = is_multistep(scheduler)
     rescale = getattr(pipe, "guidance_rescale", 0.0)
 
     def one(unet_params, key, context, guidance_scale):
@@ -77,7 +77,8 @@ def _batched_denoise_fn(pipe, num_steps: int, latent_shape, scheduler: str):
                 return (lat, x0), None
             return sampler.step(lat, eps, i, tables, **step_kw), None
 
-        init = (latents, jnp.zeros_like(latents)) if is_dpm else latents
+        init = ((latents, sampler.init_state(latents))
+                if is_dpm else latents)
         out, _ = jax.lax.scan(body, init, jnp.arange(num_steps))
         return out[0] if is_dpm else out
 

@@ -59,6 +59,7 @@ from vdx.pipelines.context import (
     ContextConfig, make_freenoise_maker, make_windowed_apply,
 )
 from vdx.schedulers import get_sampler, make_tables_for
+from vdx.schedulers import is_multistep as schedulers_is_multistep
 from vdx.schedulers.common import cfg_combine, pad_tables
 
 
@@ -710,7 +711,7 @@ class VideoDiffusionPipeline:
         sampler = get_sampler(scheduler)
         _cfg = self._sampler_cfg(scheduler)
         step_kw = {} if _cfg is None else {"cfg": _cfg}
-        is_dpm = scheduler.startswith("dpm")
+        is_dpm = schedulers_is_multistep(scheduler)
         variable = max_steps > 0
         skip = self.skip
         if variable:
@@ -844,7 +845,7 @@ class VideoDiffusionPipeline:
                 zeros = jnp.zeros(latents.shape, jnp.float32)
                 init = (latents, zeros, zeros, jnp.float32(0.0))
                 if is_dpm:
-                    init = init + (jnp.zeros_like(latents),)
+                    init = init + (sampler.init_state(latents),)
                 res, evals = jax.lax.scan(
                     body, init, jnp.arange(t_start, num_steps)
                 )
@@ -857,7 +858,7 @@ class VideoDiffusionPipeline:
                 # variable_steps a padded step passes the carry through
                 # untouched, and the samplers detect the terminal node by
                 # its sigma value, so one program serves every step count.
-                init = (latents, jnp.zeros_like(latents))
+                init = (latents, sampler.init_state(latents))
                 if variable:
                     def body(carry, i):
                         return jax.lax.cond(
@@ -914,7 +915,7 @@ class VideoDiffusionPipeline:
         sampler = get_sampler(scheduler)
         _cfg = self._sampler_cfg(scheduler)
         step_kw = {} if _cfg is None else {"cfg": _cfg}
-        if scheduler.startswith("dpm"):
+        if schedulers_is_multistep(scheduler):
             raise ValueError("PAB turbo mode supports ddim/euler/edm samplers")
         tables = self._get_tables(scheduler, num_steps)
         unet = self.unet
@@ -1335,10 +1336,10 @@ class VideoDiffusionPipeline:
         if video is not None:
             if self.pab is not None:
                 raise ValueError("video2video does not compose with PAB")
-            if scheduler.startswith("dpm"):
+            if schedulers_is_multistep(scheduler):
                 raise ValueError(
                     "video2video supports ddim/euler/edm samplers "
-                    "(dpm's multistep state assumes a full trajectory)"
+                    "(a multistep state assumes a full trajectory)"
                 )
             if not 0.0 < strength <= 1.0:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")

@@ -8,7 +8,7 @@ plus ``tables.timesteps`` (the model-facing t per step) and
 ``tables.init_noise_sigma`` (initial latent scale).
 """
 
-from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler
+from vdx.schedulers import ddim, dpm, dpm_edm, edm, euler, unipc
 from vdx.schedulers.common import ScheduleConfig
 
 _SAMPLERS = {
@@ -18,6 +18,7 @@ _SAMPLERS = {
     "dpmsolver++": dpm,
     "edm": edm,
     "dpm_edm": dpm_edm,
+    "unipc": unipc,
 }
 
 
@@ -28,6 +29,14 @@ def get_sampler(name: str):
         raise ValueError(
             f"unknown sampler {name!r}; available: {sorted(_SAMPLERS)}"
         ) from None
+
+
+def is_multistep(name: str) -> bool:
+    """Whether the sampler threads a multistep state through the scan carry
+    (``init_state`` / ``step_multistep``) — the gate pipelines use for the
+    carry shape and for features that need a single-step sampler (PAB,
+    video2video)."""
+    return getattr(get_sampler(name), "IS_MULTISTEP", False)
 
 
 def make_tables_for(name: str, num_steps: int, cfg=None):
@@ -42,6 +51,6 @@ def make_tables_for(name: str, num_steps: int, cfg=None):
 
 
 __all__ = [
-    "ddim", "euler", "dpm", "edm", "dpm_edm", "get_sampler",
-    "make_tables_for", "ScheduleConfig",
+    "ddim", "euler", "dpm", "edm", "dpm_edm", "unipc", "get_sampler",
+    "is_multistep", "make_tables_for", "ScheduleConfig",
 ]

@@ -25,6 +25,9 @@ from vdx.schedulers.common import (
 )
 
 
+IS_MULTISTEP = True
+
+
 @dataclasses.dataclass(frozen=True)
 class DPMConfig:
     schedule: ScheduleConfig = ScheduleConfig()

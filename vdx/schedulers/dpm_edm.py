@@ -52,6 +52,8 @@ __all__ = [
     "step",
 ]
 
+IS_MULTISTEP = True
+
 _TINY = 1e-10
 
 
