@@ -37,6 +37,10 @@ def _build_pipeline(args):
                       policy=FP32_POLICY)
     if args.skip > 0:
         kwargs["skip"] = SkipConfig(threshold=args.skip)
+    if getattr(args, "freeu", False):
+        from vdx.nn.freeu import FreeUConfig
+
+        kwargs["freeu"] = FreeUConfig()
     if args.context > 0:
         kwargs["context"] = ContextConfig(
             frames=args.context, stride=max(args.context // 2, 1)
@@ -69,6 +73,9 @@ def generate(argv=None) -> int:
                    choices=["ddim", "euler", "dpm", "dpm_edm", "edm"])
     p.add_argument("--skip", type=float, default=0.0, metavar="THRESH",
                    help="adaptive step-skip turbo threshold (0 = off)")
+    p.add_argument("--freeu", action="store_true",
+                   help="FreeU backbone/skip re-weighting (published "
+                        "SD-1.5 constants; quality knob, zero extra cost)")
     p.add_argument("--context", type=int, default=0, metavar="FRAMES",
                    help="temporal context window for long clips (0 = off)")
     p.add_argument("--tiny", action="store_true",
@@ -99,6 +106,7 @@ def serve(argv=None) -> int:
     p.add_argument("--checkpoint")
     p.add_argument("--scheduler", default="ddim")
     p.add_argument("--skip", type=float, default=0.0)
+    p.add_argument("--freeu", action="store_true")
     p.add_argument("--context", type=int, default=0)
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--batch-window-ms", type=float, default=0.0,

@@ -17,13 +17,14 @@ building blocks; channels-last video layout [B, F, H, W, C] throughout.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
+from vdx.nn.freeu import FreeUConfig, apply_freeu
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
 from vdx.nn.temporal import TemporalTransformer3D
 from vdx.nn.transformer import SpatialTransformer
@@ -114,6 +115,9 @@ class UNet3D(nn.Module):
     temporal_impl: str = "local"
     # Pyramid Attention Broadcast (pipelines/base.py builds the schedule)
     pab: bool = False
+    # FreeU backbone/skip re-weighting in the first two up stages
+    # (nn/freeu.py); None = exact baseline program.
+    freeu: Optional[FreeUConfig] = None
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
                refresh=None):
@@ -197,6 +201,8 @@ class UNet3D(nn.Module):
         for bi, ch in enumerate(reversed(cfg.block_out_channels)):
             for li in range(cfg.layers_per_block + 1):
                 skip = residuals.pop()
+                if self.freeu is not None:
+                    x, skip = apply_freeu(bi, x, skip, self.freeu)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._layer(
                     x, temb, context, num_frames, ch,

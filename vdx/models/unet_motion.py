@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
+from vdx.nn.freeu import FreeUConfig, apply_freeu
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
 from vdx.nn.temporal import TemporalTransformer3D
 from vdx.nn.transformer import SpatialTransformer
@@ -78,6 +79,9 @@ class UNetMotion(nn.Module):
     # 'pab_cache' collection and reused on steps where the per-type refresh
     # flag is False (pipelines/base.py builds the schedule).
     pab: bool = False
+    # FreeU backbone/skip re-weighting in the first two up stages
+    # (nn/freeu.py); None = exact baseline program.
+    freeu: Optional[FreeUConfig] = None
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
                refresh=None):
@@ -186,6 +190,8 @@ class UNetMotion(nn.Module):
             has_attn = cfg.up_block_has_attn[bi]
             for li in range(cfg.layers_per_block + 1):
                 skip = residuals.pop()
+                if self.freeu is not None:
+                    x, skip = apply_freeu(bi, x, skip, self.freeu)
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._layer(
                     x, temb, context, num_frames, channels, has_attn,

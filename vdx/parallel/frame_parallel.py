@@ -35,6 +35,7 @@ def make_frame_sharded_denoiser(
     n_conditioning: int = 1,
     pab: bool = False,
     seq_impl: str = "ulysses",
+    freeu=None,
 ):
     """Generic frame-sharded denoiser (any model with a ``temporal_impl`` knob).
 
@@ -68,6 +69,10 @@ def make_frame_sharded_denoiser(
         kwargs["policy"] = policy
     if pab:
         kwargs["pab"] = True
+    if freeu is not None:
+        # FreeU is frame-local (spatial FFT + channel scaling only), so it
+        # composes with frame sharding with zero extra communication.
+        kwargs["freeu"] = freeu
     model = denoiser_cls(**kwargs)
 
     @functools.partial(

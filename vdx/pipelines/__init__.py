@@ -5,6 +5,7 @@ from vdx.pipelines.base import (
     SkipConfig,
     VideoDiffusionPipeline,
 )
+from vdx.nn.freeu import FreeUConfig
 from vdx.pipelines.cogvideox import CogVideoXPipeline
 from vdx.pipelines.context import ContextConfig
 from vdx.pipelines.latte import LattePipeline
@@ -17,6 +18,7 @@ __all__ = [
     "PipelineOutput",
     "SkipConfig",
     "ContextConfig",
+    "FreeUConfig",
     "VideoDiffusionPipeline",
     "CogVideoXPipeline",
     "LattePipeline",

@@ -164,11 +164,21 @@ class VideoDiffusionPipeline:
         progress: Optional[Callable[[int, int], None]] = None,
         guidance_rescale: float = 0.0,
         sampler_configs=None,
+        freeu=None,
     ):
         unet_config = unet_config or self.denoiser_config_cls()
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
             unet_kwargs["pab"] = True  # denoiser must support the pab flag
+        if freeu is not None:
+            # FreeU (nn/freeu.py): skip-connection UNets only — DiT
+            # denoisers have no backbone/skip split to re-weight.
+            if not hasattr(self.denoiser_cls, "freeu"):
+                raise ValueError(
+                    f"{self.denoiser_cls.__name__} has no skip-connection "
+                    "up path — FreeU does not apply"
+                )
+            unet_kwargs["freeu"] = freeu
         self.unet = self.denoiser_cls(unet_config, **unet_kwargs)
         self.vae = AutoencoderKL(vae_config, policy=policy)
         self.text_encoder = CLIPTextModel(text_config, policy=policy)
@@ -180,13 +190,13 @@ class VideoDiffusionPipeline:
             frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
-            sampler_configs=sampler_configs,
+            sampler_configs=sampler_configs, freeu=freeu,
         )
 
     def _init_core(self, denoiser_config, *, policy, scheduler, attn_impl,
                    pab, frame_shards, mesh, variable_steps, progress,
                    seq_impl="ulysses", skip=None, context=None,
-                   guidance_rescale=0.0, sampler_configs=None):
+                   guidance_rescale=0.0, sampler_configs=None, freeu=None):
         """Shared compiled-machinery state — called by every family's
         ``__init__`` after it builds its components."""
         self.policy = policy
@@ -269,7 +279,7 @@ class VideoDiffusionPipeline:
                 self.denoiser_cls, denoiser_config, self.mesh,
                 policy=policy, attn_impl=attn_impl,
                 n_conditioning=self.n_denoiser_cond, pab=pab is not None,
-                seq_impl=seq_impl,
+                seq_impl=seq_impl, freeu=freeu,
             )
 
     # ------------------------------------------------------------------

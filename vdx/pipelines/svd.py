@@ -73,10 +73,13 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         progress=None,
         guidance_rescale: float = 0.0,
         sampler_configs=None,
+        freeu=None,
     ):
         unet_kwargs = dict(policy=policy, attn_impl=attn_impl)
         if pab is not None:
             unet_kwargs["pab"] = True
+        if freeu is not None:
+            unet_kwargs["freeu"] = freeu
         self.unet = UNetSpatioTemporal(unet_config, **unet_kwargs)
         self.vae = AutoencoderKL(vae_config, policy=policy)
         self.temporal_decoder = TemporalDecoder(vae_config, policy=policy)
@@ -88,7 +91,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
             frame_shards=frame_shards,
             seq_impl=seq_impl, mesh=mesh, variable_steps=variable_steps,
             progress=progress, guidance_rescale=guidance_rescale,
-            sampler_configs=sampler_configs,
+            sampler_configs=sampler_configs, freeu=freeu,
         )
 
     # ------------------------------------------------------------------
