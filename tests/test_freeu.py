@@ -21,8 +21,9 @@ IDENTITY = FreeUConfig(b1=1.0, b2=1.0, s1=1.0, s2=1.0)
 class TestFourierFilter:
     def test_scale_one_is_identity(self):
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
-        np.testing.assert_allclose(
-            np.asarray(fourier_filter(x, 1, 1.0)), np.asarray(x), atol=1e-5
+        # scale == 1.0 short-circuits before the FFT: bit-exact identity
+        np.testing.assert_array_equal(
+            np.asarray(fourier_filter(x, 1, 1.0)), np.asarray(x)
         )
 
     def test_scales_only_the_dc_band(self):
@@ -48,8 +49,8 @@ class TestApplyFreeU:
         x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 6))
         skip = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 4))
         x2, s2 = apply_freeu(0, x, skip, IDENTITY)
-        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(s2), np.asarray(skip), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+        np.testing.assert_array_equal(np.asarray(s2), np.asarray(skip))
 
     def test_late_stages_untouched(self):
         x = jnp.ones((1, 4, 4, 4))
@@ -78,8 +79,8 @@ def tiny_inputs():
 
 class TestUNetFreeU:
     def test_identity_config_matches_baseline_exactly(self, tiny_inputs):
-        """b=1, s=1 must reproduce the plain program bit-for-bit modulo the
-        fp32 FFT round-trip (the only inserted op)."""
+        """b=1, s=1 must reproduce the plain program bit-for-bit (the
+        identity filter short-circuits before the FFT)."""
         cfg, params, sample, t, ctx = tiny_inputs
         base = jax.jit(UNetMotion(cfg, policy=FP32_POLICY).apply)(
             params, sample, t, ctx
@@ -87,7 +88,7 @@ class TestUNetFreeU:
         free = jax.jit(
             UNetMotion(cfg, policy=FP32_POLICY, freeu=IDENTITY).apply
         )(params, sample, t, ctx)
-        np.testing.assert_allclose(np.asarray(free), np.asarray(base), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(free), np.asarray(base))
 
     def test_default_config_changes_output(self, tiny_inputs):
         cfg, params, sample, t, ctx = tiny_inputs
@@ -125,6 +126,22 @@ class TestPipelineSurface:
 
         with pytest.raises(ValueError, match="FreeU"):
             LattePipeline(unet_config=LatteConfig.tiny(), freeu=FreeUConfig())
+
+    def test_cogvideox_rejects_freeu(self):
+        """CogVideoXPipeline has its own __init__ (it doesn't forward
+        **kwargs to the base check) — it must raise the same friendly
+        ValueError, not a TypeError."""
+        from vdx.models.cogvideox import CausalVAEConfig, CogVideoXConfig
+        from vdx.models.t5 import T5Config
+        from vdx.pipelines import CogVideoXPipeline
+
+        with pytest.raises(ValueError, match="FreeU"):
+            CogVideoXPipeline(
+                dit_config=CogVideoXConfig.tiny(),
+                vae_config=CausalVAEConfig.tiny(),
+                t5_config=T5Config.tiny(),
+                freeu=FreeUConfig(),
+            )
 
 
 class TestFrameShardedFreeU:

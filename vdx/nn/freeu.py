@@ -42,8 +42,12 @@ def fourier_filter(x: jnp.ndarray, threshold: int, scale: float) -> jnp.ndarray:
     FFT over the spatial axes in fp32 (the filter is numerically delicate
     and cheap — it runs on the two smallest feature maps only), scale the
     (2*threshold)^2 box around the zero-frequency bin after fftshift, and
-    invert. Returns x's dtype.
+    invert. Returns x's dtype. A static scale of exactly 1.0 is the
+    identity and short-circuits before the FFT, so identity configs
+    reproduce the plain program bit-for-bit.
     """
+    if float(scale) == 1.0:
+        return x
     x32 = x.astype(jnp.float32)
     xf = jnp.fft.fftshift(jnp.fft.fft2(x32, axes=(1, 2)), axes=(1, 2))
     _, H, W, _ = x.shape
@@ -77,6 +81,7 @@ def apply_freeu(
     else:
         return x, skip
     half = x.shape[-1] // 2
-    x = jnp.concatenate([x[..., :half] * jnp.asarray(b, x.dtype),
-                         x[..., half:]], axis=-1)
+    if float(b) != 1.0:
+        x = jnp.concatenate([x[..., :half] * jnp.asarray(b, x.dtype),
+                             x[..., half:]], axis=-1)
     return x, fourier_filter(skip, threshold=1, scale=s)

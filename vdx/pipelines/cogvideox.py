@@ -68,7 +68,15 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         offload_text_encoder: bool = False,
         guidance_rescale: float = 0.0,
         sampler_configs=None,
+        freeu=None,
     ):
+        if freeu is not None:
+            # Same friendly rejection as VideoDiffusionPipeline.__init__:
+            # a DiT has no backbone/skip split to re-weight.
+            raise ValueError(
+                "CogVideoXDiT has no skip-connection up path — FreeU "
+                "does not apply"
+            )
         self.dit = CogVideoXDiT(dit_config, policy=policy, attn_impl=attn_impl,
                                 pab=pab is not None)
         self.unet = self.dit  # the core's denoiser handle
