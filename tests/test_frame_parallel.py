@@ -330,3 +330,225 @@ class TestSingleFramePerShard:
         np.testing.assert_allclose(
             b.astype(np.int32), a.astype(np.int32), atol=1
         )
+
+
+class TestRaggedFrameSharding:
+    """num_frames that do NOT divide the shard count.
+
+    The reference treats num_frames as a FREE parameter (reference
+    experiments/05_grid_search_ablation.py:154-169, 01:100-105); the
+    BASELINE.json north-star workload is exactly 25 frames over 8 chips.
+    The pipeline zero-pads the frame axis to the next shard multiple
+    in-program, masks padded slots out of every cross-frame op (temporal
+    attention in both seq impls, GN statistics, halo'd temporal convs)
+    via ``frames_valid``, and trims the output. These tests feed GARBAGE
+    (not zeros) into the pad slots at the model level to prove
+    containment, and compare full pipelines against the unpadded local
+    program.
+    """
+
+    def _mesh(self, n):
+        if len(jax.devices()) < n:
+            pytest.skip(f"needs {n} virtual devices")
+        return make_mesh(1, n, 1)
+
+    @pytest.mark.parametrize("seq_impl", ["ulysses", "ring"])
+    @pytest.mark.parametrize("F,n", [(5, 4), (25, 8)])
+    def test_unet_motion_matches_local(self, seq_impl, F, n):
+        mesh = self._mesh(n)
+        cfg = UNetMotionConfig.tiny()
+        local = UNetMotion(cfg, policy=FP32_POLICY)
+        B, H, W = 1, 16, 16
+        sample = jax.random.normal(jax.random.PRNGKey(0), (B, F, H, W, 4))
+        t = jnp.asarray([500])
+        ctx = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 7, cfg.cross_attention_dim)
+        )
+        params = fast_init(local, sample, t, ctx, seed=2)
+        expected = local.apply(params, sample, t, ctx)
+
+        from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
+
+        _, sharded = make_frame_sharded_denoiser(
+            UNetMotion, cfg, mesh, policy=FP32_POLICY, seq_impl=seq_impl
+        )
+        pad = (-F) % n
+        garbage = 50.0 * jax.random.normal(
+            jax.random.PRNGKey(9), (B, pad, H, W, 4)
+        )
+        sample_p = jnp.concatenate([sample, garbage], axis=1)
+        got = jax.jit(
+            lambda p, s, tt, c: sharded(p, s, tt, c, frames_valid=F)
+        )(params, sample_p, t, ctx)
+        assert bool(jnp.all(jnp.isfinite(got)))
+        np.testing.assert_allclose(
+            np.asarray(got[:, :F]), np.asarray(expected), atol=2e-4
+        )
+
+    @pytest.mark.parametrize("seq_impl", ["ulysses", "ring"])
+    @pytest.mark.parametrize("F,n", [(5, 4), (25, 8)])
+    def test_svd_unet_matches_local(self, seq_impl, F, n):
+        """The north-star denoiser program: F=25 over 8 shards includes a
+        shard holding ZERO real frames (frames 28..31) — its garbage must
+        not leak into any real frame through ring rotation, Ulysses
+        all_to_all, psum'd GN stats, or the temporal-conv halo."""
+        from vdx.models.svd_unet import SVDUNetConfig, UNetSpatioTemporal
+        from vdx.parallel.frame_parallel import make_frame_sharded_svd_unet
+
+        mesh = self._mesh(n)
+        cfg = SVDUNetConfig.tiny()
+        local = UNetSpatioTemporal(cfg, policy=FP32_POLICY)
+        B, H, W = 1, 16, 16
+        sample = jax.random.normal(
+            jax.random.PRNGKey(0), (B, F, H, W, cfg.in_channels)
+        )
+        t = jnp.asarray([0.5])
+        emb = jax.random.normal(
+            jax.random.PRNGKey(1), (B, 1, cfg.cross_attention_dim)
+        )
+        aids = jnp.asarray([[6.0, 127.0, 0.02]])
+        params = fast_init(local, sample, t, emb, aids, seed=2)
+        expected = local.apply(params, sample, t, emb, aids)
+
+        _, sharded = make_frame_sharded_svd_unet(
+            cfg, mesh, policy=FP32_POLICY, seq_impl=seq_impl
+        )
+        pad = (-F) % n
+        garbage = 50.0 * jax.random.normal(
+            jax.random.PRNGKey(9), (B, pad, H, W, cfg.in_channels)
+        )
+        sample_p = jnp.concatenate([sample, garbage], axis=1)
+        got = jax.jit(
+            lambda p, s, tt, e, a: sharded(p, s, tt, e, a, frames_valid=F)
+        )(params, sample_p, t, emb, aids)
+        assert bool(jnp.all(jnp.isfinite(got)))
+        np.testing.assert_allclose(
+            np.asarray(got[:, :F]), np.asarray(expected), atol=2e-4
+        )
+
+    def test_animatediff_pipeline_f5_n4(self):
+        """Full pipeline at a ragged frame count: frames match the local
+        program (2D VAE decode is frame-local, so the trim is exact)."""
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kwargs = dict(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+        )
+        gen = dict(num_frames=5, height=64, width=64, num_inference_steps=3,
+                   seed=7, output_type="np")
+        local = AnimateDiffPipeline.with_random_params(**kwargs)
+        a = local("portrait", **gen)
+        sharded = AnimateDiffPipeline.with_random_params(
+            frame_shards=4, **kwargs
+        )
+        b = sharded("portrait", **gen)
+        assert b.frames[0].shape == (5, 64, 64, 3)
+        assert b.latents.shape == a.latents.shape
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
+
+    def test_svd_pipeline_f6_n4(self):
+        """SVD full pipeline, ragged: with decode_chunk dividing the local
+        frame count the pad frames isolate into their own decode chunk, so
+        the temporal-VAE decode of every REAL chunk is bit-identical to the
+        local program's — the whole ragged path (masked denoise + zeroed
+        pad latents + trim) proves out end to end."""
+        from vdx.models.clip_vision import CLIPVisionConfig
+        from vdx.models.svd_unet import SVDUNetConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines.svd import SVDImg2VidPipeline
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kw = dict(unet_config=SVDUNetConfig.tiny(), vae_config=VAEConfig.tiny(),
+                  vision_config=CLIPVisionConfig.tiny(), policy=FP32_POLICY)
+        gen = dict(num_frames=6, height=64, width=64, num_inference_steps=3,
+                   seed=3, decode_chunk=2, output_type="np")
+        img = np.random.default_rng(7).random((64, 64, 3)).astype(np.float32)
+        local = SVDImg2VidPipeline.with_random_params(seed=0, **kw)
+        a = local(img, **gen)
+        sharded = SVDImg2VidPipeline(frame_shards=4, **kw)
+        sharded.params = local.params
+        b = sharded(img, **gen)
+        assert b.frames[0].shape == (6, 64, 64, 3)
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
+
+    def test_skip_turbo_composes_ragged(self):
+        """Skip turbo mode's drift signal excludes the pad slots: the eval
+        decisions (and n_evals) match the local skip pipeline exactly."""
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+        from vdx.pipelines.base import SkipConfig
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kwargs = dict(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            skip=SkipConfig(threshold=0.15, warmup_steps=1,
+                            cooldown_steps=1),
+        )
+        gen = dict(num_frames=5, height=64, width=64, num_inference_steps=4,
+                   seed=7, output_type="np")
+        local = AnimateDiffPipeline.with_random_params(**kwargs)
+        a = local("portrait", **gen)
+        sharded = AnimateDiffPipeline.with_random_params(
+            frame_shards=4, **kwargs
+        )
+        b = sharded("portrait", **gen)
+        assert int(b.n_evals) == int(a.n_evals)
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
+
+    def test_pab_composes_ragged(self):
+        """PAB turbo mode composes with ragged sharding: same schedule,
+        caches carry the padded shapes, result matches the local PAB
+        pipeline."""
+        from vdx.models.clip_text import CLIPTextConfig
+        from vdx.models.vae import VAEConfig
+        from vdx.pipelines import AnimateDiffPipeline
+        from vdx.pipelines.base import PABConfig
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        kwargs = dict(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            pab=PABConfig(spatial_interval=2, temporal_interval=2,
+                          cross_interval=2, warmup_steps=1,
+                          cooldown_steps=1),
+        )
+        gen = dict(num_frames=5, height=64, width=64, num_inference_steps=4,
+                   seed=7, output_type="np")
+        local = AnimateDiffPipeline.with_random_params(**kwargs)
+        a = local("portrait", **gen)
+        sharded = AnimateDiffPipeline.with_random_params(
+            frame_shards=4, **kwargs
+        )
+        b = sharded("portrait", **gen)
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )

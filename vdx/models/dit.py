@@ -85,7 +85,7 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, c, context: Optional[jnp.ndarray] = None,
-                 refresh_self=None, refresh_cross=None):
+                 refresh_self=None, refresh_cross=None, kv_valid=None):
         cfg = self.config
         D = cfg.hidden_size
         head_dim = D // cfg.num_heads
@@ -101,7 +101,7 @@ class DiTBlock(nn.Module):
         h = _modulate(h, shift_a, scale_a)
         h = Attention(D, cfg.num_heads, head_dim, policy=self.policy,
                       pab=self.pab, attn_impl=self.attn_impl,
-                      name="attn")(h, refresh=refresh_self)
+                      name="attn")(h, refresh=refresh_self, kv_valid=kv_valid)
         x = x + gate_a * h
 
         if self.use_cross_attn and context is not None:
@@ -142,6 +142,8 @@ class LatteDiT(nn.Module):
         context: Optional[jnp.ndarray] = None,  # [B, S, cross_dim]
         *,
         pab_refresh=None,  # {'spatial','temporal','cross'}: bool | None
+        frames_valid=None,  # GLOBAL real frame count under ragged frame
+        # sharding (frame axis zero-padded to divide the mesh axis)
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, C = sample.shape
@@ -218,6 +220,8 @@ class LatteDiT(nn.Module):
                     (B * N) % jax.lax.axis_size(u_axis) != 0
                 ):
                     u_axis = None  # static per-site fallback to the ring
+                kv_valid = None
+                pad_ft = 0
                 if u_axis is not None:
                     n_sh = jax.lax.axis_size(u_axis)
                     idx = jax.lax.axis_index(u_axis)
@@ -225,11 +229,27 @@ class LatteDiT(nn.Module):
                                             concat_axis=1, tiled=True)
                     ct = jax.lax.dynamic_slice_in_dim(
                         ct, idx * (B * N // n_sh), B * N // n_sh, axis=0)
+                    if (frames_valid is not None
+                            and frames_valid < xt.shape[1]):
+                        # ragged: full padded frame axis on-device — slice
+                        # to the real frames, run the exact local block,
+                        # zero-fill the pad slots after (nn/temporal.py)
+                        pad_ft = xt.shape[1] - frames_valid
+                        xt = xt[:, :frames_valid]
                 elif s_axis is not None:
                     attn_impl = f"ring:{s_axis}"
+                    if (frames_valid is not None and frames_valid
+                            < F * jax.lax.axis_size(s_axis)):
+                        from vdx.nn.temporal import frame_validity_mask
+
+                        kv_valid = frame_validity_mask(
+                            F, frames_valid, s_axis)
                 xt = DiTBlock(cfg, policy=self.policy, pab=self.pab,
                               attn_impl=attn_impl, name=f"blocks_{i}")(
-                    xt, ct, refresh_self=r.get("temporal"))
+                    xt, ct, refresh_self=r.get("temporal"),
+                    kv_valid=kv_valid)
+                if pad_ft:
+                    xt = jnp.pad(xt, ((0, 0), (0, pad_ft), (0, 0)))
                 if u_axis is not None:
                     xt = jax.lax.all_to_all(xt, u_axis, split_axis=1,
                                             concat_axis=0, tiled=True)

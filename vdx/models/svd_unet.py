@@ -26,13 +26,14 @@ import dataclasses
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
 from vdx.nn.embeddings import TimestepEmbedding, get_timestep_embedding
 from vdx.nn.freeu import FreeUConfig, apply_freeu
 from vdx.nn.resnet import Downsample2D, GroupNormModule, ResnetBlock2D, Upsample2D
-from vdx.nn.temporal import TemporalBlock, _shard_axis
+from vdx.nn.temporal import TemporalBlock, _shard_axis, frame_validity_mask
 from vdx.nn.transformer import BasicTransformerBlock
 from vdx.ops.halo import frame_halo_pad
 
@@ -103,11 +104,22 @@ class SpatioTemporalResBlock(nn.Module):
         )(t)
 
     @nn.compact
-    def __call__(self, x, temb, num_frames: int):
+    def __call__(self, x, temb, num_frames: int, frames_valid=None):
         # halo'd temporal convs + cross-shard GN stats apply in BOTH
         # frame-sharded modes (ring and ulysses) — only the temporal
         # transformer's attention math differs between them.
         axis = _shard_axis(self.temporal_impl)
+        # Ragged sharding: padded frame slots are masked out of the GN
+        # statistics, and zeroed before each size-3 frame conv so the
+        # real/pad boundary reads zero — exactly the local conv's SAME
+        # zero padding at the clip's true end.
+        ragged = frames_valid is not None and frames_valid < num_frames * (
+            1 if axis is None else jax.lax.axis_size(axis)
+        )
+        mask = (
+            frame_validity_mask(num_frames, frames_valid, axis)
+            if ragged else None
+        )
         groups = 32 if self.out_channels % 32 == 0 else min(self.out_channels, 8)
         # spatial branch on [B*F, H, W, C]
         s = ResnetBlock2D(self.out_channels, policy=self.policy, name="spatial")(x, temb)
@@ -118,7 +130,9 @@ class SpatioTemporalResBlock(nn.Module):
         t = GroupNormModule(
             groups, 1e-5, self.policy, with_silu=True, stats_axis=axis,
             name="tnorm1",
-        )(h)
+        )(h, frame_mask=mask)
+        if ragged:
+            t = t * mask.astype(t.dtype)[None, :, None, None, None]
         t = self._tconv(t, axis, "tconv1", zero_init=False)
         if temb is not None:
             te = nn.silu(temb.astype(jnp.float32)).astype(self.policy.compute_dtype)
@@ -130,7 +144,9 @@ class SpatioTemporalResBlock(nn.Module):
         t = GroupNormModule(
             groups, 1e-5, self.policy, with_silu=True, stats_axis=axis,
             name="tnorm2",
-        )(t)
+        )(t, frame_mask=mask)
+        if ragged:
+            t = t * mask.astype(t.dtype)[None, :, None, None, None]
         t = self._tconv(t, axis, "tconv2", zero_init=True)
         t = (h + t).reshape(BF, H, W, C)
         return AlphaBlender(name="mix")(s, t)
@@ -146,7 +162,8 @@ class TransformerSpatioTemporal(nn.Module):
     pab: bool = False
 
     @nn.compact
-    def __call__(self, x, context, num_frames: int, refresh=None):
+    def __call__(self, x, context, num_frames: int, refresh=None,
+                 frames_valid=None):
         r = refresh or {}
         BF, H, W, C = x.shape
         B = BF // num_frames
@@ -170,7 +187,8 @@ class TransformerSpatioTemporal(nn.Module):
         ht = ht.reshape(B * H * W, num_frames, C)
         ht = TemporalBlock(C, self.heads, self.head_dim, policy=self.policy,
                            temporal_impl=self.temporal_impl, pab=self.pab,
-                           name="temporal_block")(ht, refresh=r.get("temporal"))
+                           name="temporal_block")(ht, refresh=r.get("temporal"),
+                                                  frames_valid=frames_valid)
         ht = ht.reshape(B, H * W, num_frames, C).transpose(0, 2, 1, 3)
         ht = ht.reshape(BF, H * W, C)
 
@@ -193,12 +211,12 @@ class UNetSpatioTemporal(nn.Module):
     freeu: Optional[FreeUConfig] = None
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
-               refresh=None):
+               refresh=None, frames_valid=None):
         cfg = self.config
         x = SpatioTemporalResBlock(
             channels, policy=self.policy, temporal_impl=self.temporal_impl,
             name=f"{name}_res",
-        )(x, temb, num_frames)
+        )(x, temb, num_frames, frames_valid=frames_valid)
         if has_attn:
             heads = max(1, channels // cfg.attention_head_dim)
             x = TransformerSpatioTemporal(
@@ -206,7 +224,8 @@ class UNetSpatioTemporal(nn.Module):
                 context_dim=cfg.cross_attention_dim, policy=self.policy,
                 attn_impl=self.attn_impl, temporal_impl=self.temporal_impl,
                 pab=self.pab, name=f"{name}_attn",
-            )(x, context, num_frames, refresh=refresh)
+            )(x, context, num_frames, refresh=refresh,
+              frames_valid=frames_valid)
         return x
 
     @nn.compact
@@ -219,6 +238,9 @@ class UNetSpatioTemporal(nn.Module):
         *,
         num_frames=None,
         pab_refresh=None,  # {'spatial','cross','temporal'}: bool
+        frames_valid=None,  # GLOBAL real frame count under ragged frame
+        # sharding (frame axis zero-padded to divide the mesh axis; padded
+        # slots are masked out of every cross-frame op — nn/temporal.py).
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, Cin = sample.shape
@@ -253,7 +275,7 @@ class UNetSpatioTemporal(nn.Module):
             for li in range(cfg.layers_per_block):
                 x = self._layer(x, temb, context, num_frames, ch,
                                 cfg.down_block_has_attn[bi], f"down_{bi}_{li}",
-                                refresh=pab_refresh)
+                                refresh=pab_refresh, frames_valid=frames_valid)
                 residuals.append(x)
             if bi < n - 1:
                 x = Downsample2D(ch, policy=self.policy, name=f"down_{bi}_downsample")(x)
@@ -261,11 +283,11 @@ class UNetSpatioTemporal(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         x = self._layer(x, temb, context, num_frames, mid_ch, True, "mid_0",
-                        refresh=pab_refresh)
+                        refresh=pab_refresh, frames_valid=frames_valid)
         x = SpatioTemporalResBlock(
             mid_ch, policy=self.policy, temporal_impl=self.temporal_impl,
             name="mid_res_1",
-        )(x, temb, num_frames)
+        )(x, temb, num_frames, frames_valid=frames_valid)
 
         for bi, ch in enumerate(reversed(cfg.block_out_channels)):
             for li in range(cfg.layers_per_block + 1):
@@ -275,7 +297,7 @@ class UNetSpatioTemporal(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
                 x = self._layer(x, temb, context, num_frames, ch,
                                 cfg.up_block_has_attn[bi], f"up_{bi}_{li}",
-                                refresh=pab_refresh)
+                                refresh=pab_refresh, frames_valid=frames_valid)
             if bi < n - 1:
                 x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)
 

@@ -73,11 +73,24 @@ class TemporalConv(nn.Module):
     temporal_impl: str = "local"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
-        from vdx.nn.temporal import _shard_axis
+    def __call__(self, x: jnp.ndarray, num_frames: int,
+                 frames_valid=None) -> jnp.ndarray:
+        import jax as _jax
+
+        from vdx.nn.temporal import _shard_axis, frame_validity_mask
         from vdx.ops.halo import frame_halo_pad
 
         axis = _shard_axis(self.temporal_impl)
+        # ragged frame sharding: mask padded slots out of the GN stats and
+        # zero them before each size-3 frame conv (== local SAME padding
+        # at the clip's true end) — see models/svd_unet.py
+        ragged = frames_valid is not None and frames_valid < num_frames * (
+            1 if axis is None else _jax.lax.axis_size(axis)
+        )
+        mask = (
+            frame_validity_mask(num_frames, frames_valid, axis)
+            if ragged else None
+        )
         BF, H, W, C = x.shape
         B = BF // num_frames
         residual = x
@@ -87,7 +100,9 @@ class TemporalConv(nn.Module):
                 32 if C % 32 == 0 else min(C, 8),
                 1e-5, self.policy, with_silu=True, stats_axis=axis,
                 name=f"norm{i}",
-            )(h)
+            )(h, frame_mask=mask)
+            if ragged:
+                h = h * mask.astype(h.dtype)[None, :, None, None, None]
             if axis is None:
                 pad_f = (1, 1)
             else:
@@ -120,14 +135,14 @@ class UNet3D(nn.Module):
     freeu: Optional[FreeUConfig] = None
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
-               refresh=None):
+               refresh=None, frames_valid=None):
         cfg = self.config
         r = refresh or {}
         x = ResnetBlock2D(channels, policy=self.policy, name=f"{name}_resnet")(x, temb)
         x = TemporalConv(
             policy=self.policy, temporal_impl=self.temporal_impl,
             name=f"{name}_tconv",
-        )(x, num_frames)
+        )(x, num_frames, frames_valid=frames_valid)
         if has_attn:
             heads = max(1, channels // cfg.attention_head_dim)
             x = SpatialTransformer(
@@ -143,12 +158,13 @@ class UNet3D(nn.Module):
             x = TemporalTransformer3D(
                 heads=heads, policy=self.policy, pab=self.pab,
                 temporal_impl=self.temporal_impl, name=f"{name}_tattn"
-            )(x, num_frames, refresh=r.get("temporal"))
+            )(x, num_frames, refresh=r.get("temporal"),
+              frames_valid=frames_valid)
         return x
 
     @nn.compact
     def __call__(self, sample, timestep, context, *, num_frames=None,
-                 pab_refresh=None):
+                 pab_refresh=None, frames_valid=None):
         cfg = self.config
         B, F, H, W, Cin = sample.shape
         num_frames = num_frames or F
@@ -173,7 +189,7 @@ class UNet3D(nn.Module):
         x = TemporalTransformer3D(
             heads=heads0, policy=self.policy, pab=self.pab,
             temporal_impl=self.temporal_impl, name="transformer_in"
-        )(x, num_frames, refresh=r.get("temporal"))
+        )(x, num_frames, refresh=r.get("temporal"), frames_valid=frames_valid)
 
         residuals = [x]
         n = len(cfg.block_out_channels)
@@ -182,7 +198,7 @@ class UNet3D(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, ch,
                     cfg.down_block_has_attn[bi], name=f"down_{bi}_{li}",
-                    refresh=pab_refresh,
+                    refresh=pab_refresh, frames_valid=frames_valid,
                 )
                 residuals.append(x)
             if bi < n - 1:
@@ -191,12 +207,13 @@ class UNet3D(nn.Module):
 
         mid_ch = cfg.block_out_channels[-1]
         x = self._layer(x, temb, context, num_frames, mid_ch, True,
-                        name="mid_0", refresh=pab_refresh)
+                        name="mid_0", refresh=pab_refresh,
+                        frames_valid=frames_valid)
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)
         x = TemporalConv(
             policy=self.policy, temporal_impl=self.temporal_impl,
             name="mid_tconv_1",
-        )(x, num_frames)
+        )(x, num_frames, frames_valid=frames_valid)
 
         for bi, ch in enumerate(reversed(cfg.block_out_channels)):
             for li in range(cfg.layers_per_block + 1):
@@ -207,7 +224,7 @@ class UNet3D(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, ch,
                     cfg.up_block_has_attn[bi], name=f"up_{bi}_{li}",
-                    refresh=pab_refresh,
+                    refresh=pab_refresh, frames_valid=frames_valid,
                 )
             if bi < n - 1:
                 x = Upsample2D(ch, policy=self.policy, name=f"up_{bi}_upsample")(x)

@@ -84,7 +84,7 @@ class UNetMotion(nn.Module):
     freeu: Optional[FreeUConfig] = None
 
     def _layer(self, x, temb, context, num_frames, channels, has_attn, name,
-               refresh=None):
+               refresh=None, frames_valid=None):
         """One (resnet -> spatial -> cross -> motion) unit."""
         cfg = self.config
         r = refresh or {}
@@ -108,7 +108,7 @@ class UNetMotion(nn.Module):
             temporal_impl=self.temporal_impl,
             pab=self.pab,
             name=f"{name}_motion",
-        )(x, num_frames, refresh=r.get("temporal"))
+        )(x, num_frames, refresh=r.get("temporal"), frames_valid=frames_valid)
         return x
 
     @nn.compact
@@ -120,6 +120,10 @@ class UNetMotion(nn.Module):
         *,
         num_frames: Optional[int] = None,
         pab_refresh: Optional[dict] = None,  # {'spatial','cross','temporal'}: bool
+        frames_valid: Optional[int] = None,  # GLOBAL real frame count under
+        # ragged frame sharding (the frame axis was zero-padded to divide
+        # the mesh axis; padded slots are masked out of every cross-frame
+        # op — see nn/temporal.py). None = every frame is real.
     ) -> jnp.ndarray:
         cfg = self.config
         B, F, H, W, Cin = sample.shape
@@ -154,6 +158,7 @@ class UNetMotion(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, channels, has_attn,
                     name=f"down_{bi}_{li}", refresh=pab_refresh,
+                    frames_valid=frames_valid,
                 )
                 residuals.append(x)
             if bi < n_blocks - 1:
@@ -181,7 +186,7 @@ class UNetMotion(nn.Module):
             temporal_impl=self.temporal_impl,
             pab=self.pab,
             name="mid_motion",
-        )(x, num_frames, refresh=_r.get("temporal"))
+        )(x, num_frames, refresh=_r.get("temporal"), frames_valid=frames_valid)
         x = ResnetBlock2D(mid_ch, policy=self.policy, name="mid_resnet_1")(x, temb)
 
         # ---------------- up ----------------
@@ -196,6 +201,7 @@ class UNetMotion(nn.Module):
                 x = self._layer(
                     x, temb, context, num_frames, channels, has_attn,
                     name=f"up_{bi}_{li}", refresh=pab_refresh,
+                    frames_valid=frames_valid,
                 )
             if bi < n_blocks - 1:
                 x = Upsample2D(channels, policy=self.policy, name=f"up_{bi}_upsample")(x)

@@ -62,6 +62,7 @@ class Attention(nn.Module):
         context: Optional[jnp.ndarray] = None,
         refresh=None,
         rope: Optional[tuple] = None,  # (cos, sin) [S, head_dim/2]
+        kv_valid: Optional[jnp.ndarray] = None,  # ring ragged-shard key mask
     ) -> jnp.ndarray:
         inner = self.heads * self.head_dim
         ctx = x if context is None else context
@@ -117,7 +118,8 @@ class Attention(nn.Module):
                 q = apply_rope(q, rope)
                 k = apply_rope(k, rope)
             out = dot_product_attention(
-                q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl
+                q, k, v, scale=self.head_dim**-0.5, impl=self.attn_impl,
+                kv_valid=kv_valid,
             )
             return nn.Dense(
                 self.query_dim,

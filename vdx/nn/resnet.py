@@ -82,17 +82,19 @@ class GroupNormModule(nn.Module):
     stats_axis: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, frame_mask=None) -> jnp.ndarray:
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), self.policy.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (C,), self.policy.param_dtype)
         if self.with_silu:
             return group_norm_silu(
-                x, self.num_groups, scale, bias, self.eps, self.stats_axis
+                x, self.num_groups, scale, bias, self.eps, self.stats_axis,
+                frame_mask,
             )
         from vdx.ops.groupnorm import group_norm
 
-        return group_norm(x, self.num_groups, scale, bias, self.eps, self.stats_axis)
+        return group_norm(x, self.num_groups, scale, bias, self.eps,
+                          self.stats_axis, frame_mask)
 
 
 class ResnetBlock2D(nn.Module):

@@ -74,6 +74,24 @@ def _shard_axis(temporal_impl: str):
     return _ring_axis(temporal_impl) or _ulysses_axis(temporal_impl)
 
 
+def _axis_size(axis) -> int:
+    return jax.lax.axis_size(axis)
+
+
+def frame_validity_mask(frames_local: int, frames_valid: int, axis):
+    """[F_local] bool: which LOCAL frame slots hold REAL frames.
+
+    Ragged frame sharding zero-pads the global frame axis to the next
+    multiple of the mesh axis; a slot is real iff its GLOBAL index
+    (shard_index * F_local + local_index, or just local_index when
+    ``axis`` is None) is < ``frames_valid``.
+    """
+    idx = jnp.arange(frames_local)
+    if axis is not None:
+        idx = idx + jax.lax.axis_index(axis) * frames_local
+    return idx < frames_valid
+
+
 class FrameConv3(nn.Module):
     """3x1x1 conv over frames computed as three shifted CxC matmuls.
 
@@ -131,7 +149,8 @@ class TemporalBlock(nn.Module):
     pab: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, refresh=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, refresh=None,
+                 frames_valid=None) -> jnp.ndarray:
         impl = self.temporal_impl
         u_axis = _ulysses_axis(impl)
         if u_axis is not None and x.shape[0] % jax.lax.axis_size(u_axis) != 0:
@@ -150,8 +169,27 @@ class TemporalBlock(nn.Module):
             x = jax.lax.all_to_all(x, u_axis, split_axis=0, concat_axis=1,
                                    tiled=True)
             impl = "local"
-        F = x.shape[1]
         axis = _ring_axis(impl)
+        # Ragged frame sharding (``frames_valid`` = GLOBAL real frame count,
+        # static): the frame axis was zero-padded to divide the mesh axis.
+        #   * local (incl. post-Ulysses): the full padded axis is on-device —
+        #     slice to the real frames, run the EXACT unpadded local program,
+        #     zero-fill the padded slots on the way out.
+        #   * ring: keys at padded global positions are masked out of every
+        #     softmax (the mask rotates with its KV block); padded-position
+        #     queries produce finite don't-care values.
+        kv_valid = None
+        pad_f = 0
+        if frames_valid is not None:
+            if axis is None:
+                pad_f = x.shape[1] - frames_valid
+                if pad_f:
+                    x = x[:, :frames_valid]
+            elif frames_valid < x.shape[1] * jax.lax.axis_size(axis):
+                F_l = x.shape[1]
+                gidx = jnp.arange(F_l) + jax.lax.axis_index(axis) * F_l
+                kv_valid = gidx < frames_valid
+        F = x.shape[1]
         if axis is None:
             pe = sinusoidal_positional_encoding(F, self.dim).astype(x.dtype)
             attn_impl = "auto"
@@ -168,17 +206,19 @@ class TemporalBlock(nn.Module):
         x = x + Attention(
             self.dim, self.heads, self.head_dim, policy=self.policy,
             attn_impl=attn_impl, pab=self.pab, name="attn1",
-        )(h, refresh=refresh)
+        )(h, refresh=refresh, kv_valid=kv_valid)
 
         h = LayerNormF32(policy=self.policy, name="norm2")(x)
         h = h + pe[None]
         x = x + Attention(
             self.dim, self.heads, self.head_dim, policy=self.policy,
             attn_impl=attn_impl, pab=self.pab, name="attn2",
-        )(h, refresh=refresh)
+        )(h, refresh=refresh, kv_valid=kv_valid)
 
         h = LayerNormF32(policy=self.policy, name="norm3")(x)
         x = x + FeedForward(self.dim, policy=self.policy, name="ff")(h)
+        if pad_f:
+            x = jnp.pad(x, ((0, 0), (0, pad_f), (0, 0)))
         if u_axis is not None:
             # [P/n, F_global, C] -> [P, F_local, C]
             x = jax.lax.all_to_all(x, u_axis, split_axis=1, concat_axis=0,
@@ -200,21 +240,33 @@ class TemporalTransformer3D(nn.Module):
     pab: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, num_frames: int, refresh=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, num_frames: int, refresh=None,
+                 frames_valid=None) -> jnp.ndarray:
         BF, H, W, C = x.shape
         F = num_frames
         B = BF // F
         residual = x
         # GN statistics span the GLOBAL frame axis in both sharded modes.
         axis = _shard_axis(self.temporal_impl)
+        # Ragged sharding: a padded frame axis. Exclude padded slots from
+        # the GN statistics; frames_valid == the global axis size degrades
+        # to the unpadded program.
+        ragged = (
+            frames_valid is not None
+            and frames_valid < F * (1 if axis is None else _axis_size(axis))
+        )
 
         scale = self.param("norm_scale", nn.initializers.ones, (C,), self.policy.param_dtype)
         bias = self.param("norm_bias", nn.initializers.zeros, (C,), self.policy.param_dtype)
         h = x.reshape(B, F, H, W, C)
         groups = math.gcd(32, C)
-        if axis is None:
+        if axis is None and not ragged:
             # GN with stats over (F, H, W) jointly
             h = group_norm(h, groups, scale, bias, eps=1e-6)
+        elif ragged:
+            mask = frame_validity_mask(F, frames_valid, axis)
+            h = group_norm(h, groups, scale, bias, eps=1e-6,
+                           stats_axis_name=axis, frame_mask=mask)
         else:
             # sharded stats: local moments + psum over the frame shards
             xg = h.astype(jnp.float32).reshape(B, F, H, W, groups, C // groups)
@@ -245,7 +297,8 @@ class TemporalTransformer3D(nn.Module):
                 temporal_impl=self.temporal_impl,
                 pab=self.pab,
                 name=f"blocks_{i}",
-            )(h, refresh=refresh)
+            )(h, refresh=refresh,
+              frames_valid=frames_valid if ragged else None)
         h = nn.Dense(
             C,
             dtype=self.policy.compute_dtype,

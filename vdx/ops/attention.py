@@ -132,10 +132,18 @@ def dot_product_attention(
     scale: Optional[float] = None,
     mask: Optional[jnp.ndarray] = None,
     impl: str = "auto",
+    kv_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Scaled dot-product attention over [B, S, H, D] tensors."""
+    """Scaled dot-product attention over [B, S, H, D] tensors.
+
+    ``kv_valid`` ([S_kv_local] bool) is ring-only: ragged frame sharding's
+    key-validity mask, rotated around the ring with its KV block.
+    """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if kv_valid is not None and not impl.startswith("ring:"):
+        raise ValueError("kv_valid is only supported by ring attention; "
+                         "local ragged paths slice the frame axis instead")
 
     if impl == "auto":
         if mask is None and _flash_available() and _should_use_flash(q, k):
@@ -193,5 +201,6 @@ def dot_product_attention(
         from vdx.parallel.ring_attention import ring_attention
 
         assert mask is None, "ring attention does not support masks"
-        return ring_attention(q, k, v, axis_name=impl.split(":", 1)[1], scale=scale)
+        return ring_attention(q, k, v, axis_name=impl.split(":", 1)[1],
+                              scale=scale, kv_valid=kv_valid)
     raise ValueError(f"unknown attention impl {impl!r}")

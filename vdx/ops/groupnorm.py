@@ -40,6 +40,7 @@ def _group_norm_xla(
     bias: Optional[jnp.ndarray],
     eps: float = 1e-5,
     stats_axis_name: Optional[str] = None,
+    frame_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """XLA reference formulation (fully fuseable; used on CPU and as the
     differentiation rule for the Pallas path)."""
@@ -49,7 +50,30 @@ def _group_norm_xla(
     gshape = x.shape[:-1] + (num_groups, C // num_groups)
     xg = x.astype(jnp.float32).reshape(gshape)
     axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-    if stats_axis_name is not None:
+    if frame_mask is not None:
+        # Ragged frame sharding: axis 1 of x is a (possibly padded) frame
+        # axis and ``frame_mask`` [F_local] marks which of its slots are
+        # REAL frames. Statistics must span only real frames — padded slots
+        # carry garbage and, across shards, the per-shard real counts are
+        # UNEQUAL, so pmean-of-means is wrong; use psum of masked sums over
+        # a psum'd count instead.
+        w = frame_mask.astype(jnp.float32).reshape(
+            (1, frame_mask.shape[0]) + (1,) * (xg.ndim - 2)
+        )
+        per_frame = 1.0
+        for a in axes:
+            if a != 1:
+                per_frame *= xg.shape[a]
+        cnt = jnp.sum(frame_mask.astype(jnp.float32)) * per_frame
+        s1 = jnp.sum(xg * w, axis=axes, keepdims=True)
+        s2 = jnp.sum(xg * xg * w, axis=axes, keepdims=True)
+        if stats_axis_name is not None:
+            cnt = jax.lax.psum(cnt, stats_axis_name)
+            s1 = jax.lax.psum(s1, stats_axis_name)
+            s2 = jax.lax.psum(s2, stats_axis_name)
+        mean = s1 / cnt
+        var = s2 / cnt - mean * mean
+    elif stats_axis_name is not None:
         mean = jax.lax.pmean(xg.mean(axis=axes, keepdims=True), stats_axis_name)
         sq = jax.lax.pmean((xg * xg).mean(axis=axes, keepdims=True), stats_axis_name)
         var = sq - mean * mean
@@ -66,8 +90,9 @@ def _group_norm_xla(
 
 
 def _group_norm_silu_xla(x, num_groups, scale, bias, eps=1e-5,
-                         stats_axis_name=None):
-    y = _group_norm_xla(x, num_groups, scale, bias, eps, stats_axis_name)
+                         stats_axis_name=None, frame_mask=None):
+    y = _group_norm_xla(x, num_groups, scale, bias, eps, stats_axis_name,
+                        frame_mask)
     y32 = y.astype(jnp.float32)
     return (y32 * jnp.reciprocal(1.0 + jnp.exp(-y32))).astype(x.dtype)
 
@@ -101,9 +126,11 @@ def _gn_pallas_bwd(num_groups, eps, with_silu, res, g):
 _gn_pallas.defvjp(_gn_pallas_fwd, _gn_pallas_bwd)
 
 
-def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu):
+def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu,
+              frame_mask=None):
     if (
         stats_axis_name is None
+        and frame_mask is None
         and scale is not None
         and bias is not None
         and x.ndim >= 3
@@ -115,7 +142,7 @@ def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu):
         if pallas_gn_viable(x.shape):
             return _gn_pallas(x, scale, bias, num_groups, eps, with_silu)
     ref = _group_norm_silu_xla if with_silu else _group_norm_xla
-    return ref(x, num_groups, scale, bias, eps, stats_axis_name)
+    return ref(x, num_groups, scale, bias, eps, stats_axis_name, frame_mask)
 
 
 def group_norm(
@@ -125,6 +152,7 @@ def group_norm(
     bias: Optional[jnp.ndarray],
     eps: float = 1e-5,
     stats_axis_name: Optional[str] = None,
+    frame_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """GroupNorm over a channels-last tensor [..., C] with batch on axis 0.
 
@@ -136,10 +164,15 @@ def group_norm(
     (frame sharding inside shard_map), pmean the moments across it so the
     statistics span the GLOBAL tensor.
 
+    ``frame_mask`` ([F] bool, axis 1 of x): ragged frame sharding — padded
+    frame slots are excluded from the statistics (masked psum'd sums over a
+    psum'd real count, since per-shard real counts are unequal).
+
     On TPU, dispatches to the fused Pallas kernel (kernels/groupnorm.py);
     set VDX_GN_IMPL=xla to force the XLA formulation.
     """
-    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, False)
+    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, False,
+                     frame_mask)
 
 
 def group_norm_silu(
@@ -149,6 +182,8 @@ def group_norm_silu(
     bias: Optional[jnp.ndarray],
     eps: float = 1e-5,
     stats_axis_name: Optional[str] = None,
+    frame_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """GroupNorm followed by SiLU — the UNet ResNet hot pattern."""
-    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, True)
+    return _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, True,
+                     frame_mask)

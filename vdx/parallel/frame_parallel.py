@@ -75,15 +75,33 @@ def make_frame_sharded_denoiser(
         kwargs["freeu"] = freeu
     model = denoiser_cls(**kwargs)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
+    specs = dict(
         in_specs=(P(), P(None, axis), P()) + (P(),) * n_conditioning,
         out_specs=P(None, axis),
-        check_vma=False,
     )
-    def sharded_apply(params, sample, timestep, *conditioning):
-        return model.apply(params, sample, timestep, *conditioning)
+    variants = {}
+
+    def _build(frames_valid):
+        @functools.partial(
+            shard_map, mesh=mesh, check_vma=False, **specs,
+        )
+        def _apply(params, sample, timestep, *conditioning):
+            return model.apply(params, sample, timestep, *conditioning,
+                               frames_valid=frames_valid)
+
+        return _apply
+
+    def sharded_apply(params, sample, timestep, *conditioning,
+                      frames_valid=None):
+        """``frames_valid`` (static int): ragged frame sharding — the GLOBAL
+        sample's frame axis is zero-padded to divide the mesh axis and only
+        the first ``frames_valid`` frames are real; the model masks padded
+        slots out of every cross-frame op (nn/temporal.py). None = every
+        frame is real (the divisible path, traced identically to before)."""
+        fn = variants.get(frames_valid)
+        if fn is None:
+            fn = variants[frames_valid] = _build(frames_valid)
+        return fn(params, sample, timestep, *conditioning)
 
     return model, sharded_apply
 

@@ -24,15 +24,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _block_attention(q, k, v, scale):
+def _block_attention(q, k, v, scale, kv_valid=None):
     """Unnormalised block attention -> (numerator, denominator, rowmax).
 
-    q: [B, Sq, H, D], k/v: [B, Skv, H, D]
+    q: [B, Sq, H, D], k/v: [B, Skv, H, D]; kv_valid: optional [Skv] bool
+    marking which KEY positions are real (ragged frame sharding — padded
+    frames must not contribute probability mass to any query).
     returns acc [B, Sq, H, D] (f32), l [B, Sq, H, 1], m [B, Sq, H, 1]
     """
     s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     s = s * scale
+    if kv_valid is not None:
+        s = jnp.where(kv_valid[None, None, None, :], s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)  # [B, H, Sq, 1]
+    if kv_valid is not None:
+        # A block whose keys are ALL padding (a fully-pad shard) has
+        # m = -inf; clamp so exp(s - m) = exp(-inf) = 0 instead of NaN.
+        # _combine then weights this block's contribution by exp(m - m') = 0.
+        m = jnp.maximum(m, jnp.float32(-1e30))
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.einsum("bhqk,bkhd->bhqd", p.astype(v.dtype), v,
@@ -57,29 +66,50 @@ def ring_attention(
     *,
     axis_name: str,
     scale: Optional[float] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Full attention with KV sharded over ``axis_name``.
 
     Call INSIDE shard_map; q/k/v are the local shards [B, S_local, H, D].
     Returns the local output shard [B, S_local, H, D].
+
+    ``kv_valid`` ([S_local] bool): ragged sharding — marks which LOCAL key
+    positions are real frames. The mask rotates around the ring with its
+    KV block, so padded frames are excluded from every device's softmax.
+    Queries at padded positions produce don't-care (finite) values: the
+    final l always includes at least the real blocks' mass.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     n = jax.lax.psum(1, axis_name)
 
-    acc, l, m = _block_attention(q, k, v, scale)
+    acc, l, m = _block_attention(q, k, v, scale, kv_valid)
 
     def body(i, carry):
-        acc, l, m, k, v = carry
-        # rotate KV one step around the ring
+        acc, l, m, k, v, kv_valid = carry
+        # rotate KV (and its validity mask) one step around the ring
         perm = [(j, (j + 1) % n) for j in range(n)]
         k = jax.lax.ppermute(k, axis_name, perm)
         v = jax.lax.ppermute(v, axis_name, perm)
-        a2, l2, m2 = _block_attention(q, k, v, scale)
+        if kv_valid is not None:
+            kv_valid = jax.lax.ppermute(kv_valid, axis_name, perm)
+        a2, l2, m2 = _block_attention(q, k, v, scale, kv_valid)
         acc, l, m = _combine(acc, l, m, a2, l2, m2)
-        return acc, l, m, k, v
+        return acc, l, m, k, v, kv_valid
 
-    acc, l, m, _, _ = jax.lax.fori_loop(0, n - 1, body, (acc, l, m, k, v))
+    if kv_valid is None:
+        def body_nomask(i, carry):
+            acc, l, m, k, v = carry
+            acc, l, m, k, v, _ = body(i, (acc, l, m, k, v, None))
+            return acc, l, m, k, v
+
+        acc, l, m, _, _ = jax.lax.fori_loop(
+            0, n - 1, body_nomask, (acc, l, m, k, v)
+        )
+    else:
+        acc, l, m, _, _, _ = jax.lax.fori_loop(
+            0, n - 1, body, (acc, l, m, k, v, kv_valid)
+        )
     return (acc / l).astype(q.dtype)
 
 

@@ -696,7 +696,7 @@ class VideoDiffusionPipeline:
 
     def _denoise_raw(self, scheduler: str, guidance: bool, latent_shape,
                      max_steps: int = 0, num_steps: int = 0,
-                     t_start: int = 0, encode_fn=None):
+                     t_start: int = 0, encode_fn=None, pad_frames: int = 0):
         """The denoise program body (unjitted, for composition).
 
         Two modes sharing one step implementation:
@@ -736,6 +736,22 @@ class VideoDiffusionPipeline:
         mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
+        # Ragged frame sharding (reference parity: num_frames is a FREE
+        # parameter, reference experiments/05_grid_search_ablation.py:154-169
+        # — e.g. the 25-frame north star over 8 shards): the frame axis is
+        # zero-padded to the next shard multiple INSIDE the program. The
+        # noise / conditioning RNG runs at the REAL frame count (identical
+        # draws to the local program), the padded scan evolves don't-care
+        # values in the pad slots (masked out of every cross-frame op by
+        # ``frames_valid`` — nn/temporal.py), and _get_program trims the
+        # output back to the real frames.
+        frames_real = latent_shape[1]
+        fv_kw = {"frames_valid": frames_real} if pad_frames else {}
+
+        def _pad_f(x):
+            return jnp.pad(
+                x, ((0, 0), (0, pad_frames)) + ((0, 0),) * (x.ndim - 2)
+            )
         # long-clip mode: requests longer than the context window evaluate
         # the denoiser per overlapping window and blend; shorter requests
         # fall through to the exact context-free program
@@ -761,6 +777,10 @@ class VideoDiffusionPipeline:
                 )
             else:
                 latents = make_noise(prep["key"]) * tables.init_noise_sigma
+            if pad_frames:
+                latents = _pad_f(latents)
+                if prep["concat"] is not None:
+                    prep = dict(prep, concat=_pad_f(prep["concat"]))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -781,7 +801,8 @@ class VideoDiffusionPipeline:
                 t_b = jnp.broadcast_to(
                     tables.timesteps[i], (model_in.shape[0],)
                 )
-                eps = unet_apply(params[dkey], model_in, t_b, *prep["den_args"])
+                eps = unet_apply(params[dkey], model_in, t_b,
+                                 *prep["den_args"], **fv_kw)
                 if guidance:
                     u, c = jnp.split(eps, 2, axis=0)
                     # rank-1 guidance = a per-STEP schedule (dynamic CFG):
@@ -825,12 +846,18 @@ class VideoDiffusionPipeline:
                         lat, prev_eps, prev_sig, accum = carry
                     # trajectory-change signal: relative L1 drift of the
                     # sampler-scaled latents since the last evaluated step
+                    # (real frames only — pad slots hold don't-care values
+                    # whose drift must not perturb the eval decisions)
                     sig = sampler.scale_model_input(lat, i, tables).astype(
                         jnp.float32
                     )
-                    rel = jnp.mean(jnp.abs(sig - prev_sig)) / (
-                        jnp.mean(jnp.abs(prev_sig)) + 1e-8
-                    )
+                    if pad_frames:
+                        d = jnp.abs(sig - prev_sig)[:, :frames_real]
+                        p = jnp.abs(prev_sig[:, :frames_real])
+                    else:
+                        d = jnp.abs(sig - prev_sig)
+                        p = jnp.abs(prev_sig)
+                    rel = jnp.mean(d) / (jnp.mean(p) + 1e-8)
                     accum = accum + rel
                     forced = jnp.logical_or(
                         i < t_start + skip.warmup_steps,
@@ -911,7 +938,7 @@ class VideoDiffusionPipeline:
         return denoise
 
     def _denoise_raw_pab(self, num_steps, scheduler, guidance, latent_shape,
-                         pab: PABConfig):
+                         pab: PABConfig, pad_frames: int = 0):
         """PAB variant: step 0 populates the attention cache (outside the
         scan so the carry structure exists); steps 1..N-1 scan with the
         cache threaded through the carry and per-type refresh flags.
@@ -932,6 +959,15 @@ class VideoDiffusionPipeline:
         mesh = self.mesh
         dkey = self.denoiser_param_key
         make_noise = self._noise_maker(latent_shape)
+        # ragged frame sharding: see _denoise_raw — pad in-program, mask
+        # cross-frame ops via frames_valid, trim in _get_program
+        frames_real = latent_shape[1]
+        fv_kw = {"frames_valid": frames_real} if pad_frames else {}
+
+        def _pad_f(x):
+            return jnp.pad(
+                x, ((0, 0), (0, pad_frames)) + ((0, 0),) * (x.ndim - 2)
+            )
 
         def refresh_flags(i):
             hot = (i < pab.warmup_steps) | (i >= num_steps - pab.cooldown_steps)
@@ -999,7 +1035,7 @@ class VideoDiffusionPipeline:
             def create(params, mi, tb, da, flags):
                 eps, mut = ring.apply(
                     {"params": params["params"]}, mi, tb, *da,
-                    pab_refresh=flags, mutable=["pab_cache"],
+                    pab_refresh=flags, mutable=["pab_cache"], **fv_kw,
                 )
                 return eps, mut.get("pab_cache", {})
 
@@ -1014,6 +1050,7 @@ class VideoDiffusionPipeline:
                 eps, mut = ring.apply(
                     {"params": params["params"], "pab_cache": cache},
                     mi, tb, *da, pab_refresh=flags, mutable=["pab_cache"],
+                    **fv_kw,
                 )
                 return eps, mut.get("pab_cache", {})
 
@@ -1024,6 +1061,10 @@ class VideoDiffusionPipeline:
             assert video is None, "video2video does not compose with PAB"
             prep = self._prepare_cond(params, key, cond, latent_shape)
             latents = make_noise(prep["key"]) * tables.init_noise_sigma
+            if pad_frames:
+                latents = _pad_f(latents)
+                if prep["concat"] is not None:
+                    prep = dict(prep, concat=_pad_f(prep["concat"]))
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1121,7 +1162,7 @@ class VideoDiffusionPipeline:
 
     def _get_program(self, *, scheduler, guidance, latent_shape, num_steps,
                      chunk=None, decode_opts=None, variable=False,
-                     t_start=0, encode_chunk=None):
+                     t_start=0, encode_chunk=None, pad_frames=0):
         """Build-or-fetch the jitted program for this request signature.
 
         chunk=None  -> denoise-only (latent output)
@@ -1138,7 +1179,7 @@ class VideoDiffusionPipeline:
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
                self.pab is not None, self._progress_enabled(),
-               t_start, encode_chunk,
+               t_start, encode_chunk, pad_frames,
                dataclasses.astuple(self.skip) if self.skip else None,
                dataclasses.astuple(self.context) if self.context else None,
                self.guidance_rescale,
@@ -1152,22 +1193,36 @@ class VideoDiffusionPipeline:
         )
         if self.pab is not None:
             denoise_raw = self._denoise_raw_pab(
-                num_steps, scheduler, guidance, latent_shape, self.pab
+                num_steps, scheduler, guidance, latent_shape, self.pab,
+                pad_frames=pad_frames,
             )
         elif variable:
             denoise_raw = self._denoise_raw(
                 scheduler, guidance, latent_shape,
-                max_steps=self.variable_steps,
+                max_steps=self.variable_steps, pad_frames=pad_frames,
             )
         else:
             denoise_raw = self._denoise_raw(
                 scheduler, guidance, latent_shape, num_steps=num_steps,
-                t_start=t_start, encode_fn=encode_fn,
+                t_start=t_start, encode_fn=encode_fn, pad_frames=pad_frames,
             )
 
         skip_stats = self.skip is not None and self.pab is None
+        frames_real = latent_shape[1]
         if chunk is None:
-            fn = jax.jit(denoise_raw)
+            if pad_frames:
+                # ragged sharding: the scan ran padded — trim the pad
+                # slots off the latent output inside the program
+                def denoise_trim(*args, **kwargs):
+                    res = denoise_raw(*args, **kwargs)
+                    if skip_stats:
+                        latents, n_evals = res
+                        return latents[:, :frames_real], n_evals
+                    return res[:, :frames_real]
+
+                fn = jax.jit(denoise_trim)
+            else:
+                fn = jax.jit(denoise_raw)
         else:
             decode_raw = self._decode_composable(chunk, decode_opts or {})
 
@@ -1177,9 +1232,27 @@ class VideoDiffusionPipeline:
                                   tables, n, video)
                 if skip_stats:
                     latents, n_evals = res
-                    return latents, decode_raw(params, latents), n_evals
-                latents = res
-                return latents, decode_raw(params, latents)
+                else:
+                    latents, n_evals = res, None
+                if pad_frames:
+                    # zero the pad slots before decode: frame-local decode
+                    # (2D VAEs) ignores them; chunked TEMPORAL decode (SVD)
+                    # sees deterministic zeros in any chunk that spans the
+                    # real/pad boundary instead of don't-care scan values
+                    F_p = latents.shape[1]
+                    fmask = (jnp.arange(F_p) < frames_real).astype(
+                        latents.dtype
+                    )
+                    frames_u8 = decode_raw(
+                        params, latents * fmask[None, :, None, None, None]
+                    )
+                    latents = latents[:, :frames_real]
+                    frames_u8 = frames_u8[:, :frames_real]
+                else:
+                    frames_u8 = decode_raw(params, latents)
+                if n_evals is not None:
+                    return latents, frames_u8, n_evals
+                return latents, frames_u8
 
             fn = jax.jit(generate)
         self._compiled[key] = fn
@@ -1207,12 +1280,17 @@ class VideoDiffusionPipeline:
         """The family-independent request path: resolve chunking/sharding,
         pick static vs variable program, dispatch, postprocess."""
         B, num_frames = latent_shape[0], latent_shape[1]
-        if self.frame_shards > 1:
-            assert num_frames % self.frame_shards == 0, (
-                f"num_frames={num_frames} must divide over "
-                f"frame_shards={self.frame_shards}"
-            )
-        local_frames = num_frames // self.frame_shards
+        # Ragged frame sharding: num_frames is a FREE parameter (matching
+        # the reference, experiments/05_grid_search_ablation.py:154-169) —
+        # when it does not divide the shard count (the 25-frame north star
+        # over 8 chips), the program zero-pads the frame axis to the next
+        # shard multiple, masks the pad slots out of every cross-frame op,
+        # and trims them off the output. Exact vs the local program
+        # (tests/test_frame_parallel.py ragged cases).
+        pad_frames = (
+            (-num_frames) % self.frame_shards if self.frame_shards > 1 else 0
+        )
+        local_frames = (num_frames + pad_frames) // self.frame_shards
         chunk = max(1, min(decode_chunk, local_frames))
         while local_frames % chunk:
             chunk -= 1
@@ -1234,6 +1312,7 @@ class VideoDiffusionPipeline:
             decode_opts=decode_opts, variable=use_var,
             t_start=t_start if v2v else 0,
             encode_chunk=chunk if v2v else None,
+            pad_frames=pad_frames,
         )
         tables = self._get_tables(
             scheduler, num_inference_steps,
@@ -1256,6 +1335,18 @@ class VideoDiffusionPipeline:
                     guidance_arr = jnp.concatenate(
                         [guidance_arr, jnp.repeat(guidance_arr[-1:], pad)]
                     )
+        elif (
+            pad_frames
+            and getattr(guidance_arr, "ndim", 0) > 1
+            and guidance_arr.shape[1] == num_frames
+        ):
+            # per-FRAME guidance (SVD's linspace [1, F, 1, 1, 1]) must
+            # broadcast over the frame-padded latents; edge-pad the pad
+            # slots (their combine result is trimmed anyway)
+            guidance_arr = jnp.concatenate(
+                [guidance_arr]
+                + [guidance_arr[:, -1:]] * pad_frames, axis=1
+            )
         args = (self.params, key_arr, cond, guidance_arr, tables)
         if use_var:
             args = args + (jnp.int32(num_inference_steps),)
