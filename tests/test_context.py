@@ -218,11 +218,51 @@ class TestContextPipeline:
                 seed=0, context=CTX, pab=PABConfig(), **KW
             )
 
-    def test_frame_shards_rejected(self):
-        with pytest.raises(ValueError, match="frame_shards"):
-            AnimateDiffPipeline.with_random_params(
-                seed=0, context=CTX, frame_shards=2, **KW
-            )
+    def test_window_parallel_matches_local(self):
+        """context + frame_shards = WINDOW parallelism: the per-step
+        windows shard over the mesh (independent denoiser evaluations;
+        weighted-psum blend) and the result matches the single-device
+        context pipeline to the repo-wide sharded-vs-local contract
+        (<=1 uint8 on frames; the blend's fp32 FMA fusion differs by
+        <=1 ulp between the scan and shard_map programs)."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        local = AnimateDiffPipeline.with_random_params(
+            seed=0, context=CTX, **KW
+        )
+        a = local("portrait", num_frames=10, seed=7, **GEN)
+        wp = AnimateDiffPipeline.with_random_params(
+            seed=0, context=CTX, frame_shards=4, **KW
+        )
+        b = wp("portrait", num_frames=10, seed=7, **GEN)
+        assert b.frames[0].shape == a.frames[0].shape
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(b.latents), np.asarray(a.latents), atol=1e-3
+        )
+
+    def test_window_parallel_fall_through_ragged(self):
+        """Short requests on a window-parallel pipeline fall through to
+        the plain local program; a ragged frame count (3 frames on 4
+        shards) exercises the decode-side pad/trim."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        local = AnimateDiffPipeline.with_random_params(
+            seed=0, context=CTX, **KW
+        )
+        wp = AnimateDiffPipeline.with_random_params(
+            seed=0, context=CTX, frame_shards=4, **KW
+        )
+        a = local("portrait", num_frames=3, seed=3, **GEN)
+        b = wp("portrait", num_frames=3, seed=3, **GEN)
+        assert b.frames[0].shape == (3, 64, 64, 3)
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
 
     def test_unsupported_family_rejected(self):
         from vdx.pipelines import CogVideoXPipeline

@@ -232,12 +232,12 @@ class VideoDiffusionPipeline:
                     "attention caches are sized per model call, and each "
                     "window would clobber the previous window's cache"
                 )
-            if frame_shards > 1:
-                raise ValueError(
-                    "context windows and frame_shards are incompatible: "
-                    "the frame-sharded denoiser owns the frame-axis "
-                    "layout (windows would slice across shards)"
-                )
+            # context + frame_shards>1 = WINDOW parallelism (below): the
+            # per-step windows are independent denoiser evaluations, so
+            # they shard over the mesh instead of the frame axis — the
+            # multi-chip long-clip mode for clips past the trained span
+            # (plain frame sharding would run the motion PE outside its
+            # trained context; docs/05).
         # CFG std-rescale (Lin et al. overexposure fix) — a deployment-level
         # constant baked into the denoise program (schedulers.common.
         # cfg_combine); 0.0 = plain CFG, the reference's behaviour
@@ -265,22 +265,34 @@ class VideoDiffusionPipeline:
         self.mesh = None
         self._sharded_unet_apply = None
         self._ring_model = None
+        #: context + frame_shards>1: WINDOW parallelism — each device
+        #: evaluates a subset of the per-step context windows on replicated
+        #: latents and the blend is a weighted psum (the denoiser itself
+        #: stays local; windows are independent evaluations). Requests at
+        #: or below the window length fall through to the local program.
+        self._window_parallel = False
         if frame_shards > 1:
             if not self.supports_frame_shards:
                 raise ValueError(
                     f"{type(self).__name__} denoiser has no frame-sharded "
                     "(ring) execution mode"
                 )
-            from vdx.parallel.frame_parallel import make_frame_sharded_denoiser
             from vdx.parallel.mesh import make_mesh
 
             self.mesh = mesh if mesh is not None else make_mesh(1, frame_shards, 1)
-            self._ring_model, self._sharded_unet_apply = make_frame_sharded_denoiser(
-                self.denoiser_cls, denoiser_config, self.mesh,
-                policy=policy, attn_impl=attn_impl,
-                n_conditioning=self.n_denoiser_cond, pab=pab is not None,
-                seq_impl=seq_impl, freeu=freeu,
-            )
+            if context is not None:
+                self._window_parallel = True
+            else:
+                from vdx.parallel.frame_parallel import (
+                    make_frame_sharded_denoiser,
+                )
+
+                self._ring_model, self._sharded_unet_apply = make_frame_sharded_denoiser(
+                    self.denoiser_cls, denoiser_config, self.mesh,
+                    policy=policy, attn_impl=attn_impl,
+                    n_conditioning=self.n_denoiser_cond, pab=pab is not None,
+                    seq_impl=seq_impl, freeu=freeu,
+                )
 
     # ------------------------------------------------------------------
     # Family hooks — override points for SVD / CogVideoX / future families
@@ -755,11 +767,24 @@ class VideoDiffusionPipeline:
         # long-clip mode: requests longer than the context window evaluate
         # the denoiser per overlapping window and blend; shorter requests
         # fall through to the exact context-free program
+        window_parallel = self._window_parallel
         if self.context is not None and latent_shape[1] > self.context.frames:
-            unet_apply = make_windowed_apply(
-                unet_apply, total_frames=latent_shape[1],
-                out_channels=self.latent_channels, cfg=self.context,
-            )
+            if window_parallel:
+                # multi-chip long clips: windows shard over the mesh
+                # (independent evaluations; weighted-psum blend) — the
+                # denoiser stays local per window (pipelines/context.py)
+                from vdx.pipelines.context import make_windowed_apply_sharded
+
+                unet_apply = make_windowed_apply_sharded(
+                    unet_apply, total_frames=latent_shape[1],
+                    out_channels=self.latent_channels, cfg=self.context,
+                    mesh=mesh,
+                )
+            else:
+                unet_apply = make_windowed_apply(
+                    unet_apply, total_frames=latent_shape[1],
+                    out_channels=self.latent_channels, cfg=self.context,
+                )
             if self.context.freenoise:
                 make_noise = make_freenoise_maker(
                     latent_shape, self.context.frames
@@ -784,8 +809,12 @@ class VideoDiffusionPipeline:
             if mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
+                # window parallelism keeps latents REPLICATED (each device
+                # evaluates whole windows); sequence parallelism shards the
+                # frame axis
+                spec = P() if window_parallel else P(None, "frames")
                 latents = jax.lax.with_sharding_constraint(
-                    latents, NamedSharding(mesh, P(None, "frames"))
+                    latents, NamedSharding(mesh, spec)
                 )
             n_total = n if variable else num_steps
 
@@ -1162,7 +1191,8 @@ class VideoDiffusionPipeline:
 
     def _get_program(self, *, scheduler, guidance, latent_shape, num_steps,
                      chunk=None, decode_opts=None, variable=False,
-                     t_start=0, encode_chunk=None, pad_frames=0):
+                     t_start=0, encode_chunk=None, pad_frames=0,
+                     decode_pad=0):
         """Build-or-fetch the jitted program for this request signature.
 
         chunk=None  -> denoise-only (latent output)
@@ -1179,7 +1209,7 @@ class VideoDiffusionPipeline:
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
                self.pab is not None, self._progress_enabled(),
-               t_start, encode_chunk, pad_frames,
+               t_start, encode_chunk, pad_frames, decode_pad,
                dataclasses.astuple(self.skip) if self.skip else None,
                dataclasses.astuple(self.context) if self.context else None,
                self.guidance_rescale,
@@ -1248,6 +1278,15 @@ class VideoDiffusionPipeline:
                     )
                     latents = latents[:, :frames_real]
                     frames_u8 = frames_u8[:, :frames_real]
+                elif decode_pad:
+                    # window parallelism: latents are real-length and
+                    # replicated — zero-pad them for the shard-local decode
+                    # and trim the decoded frames back
+                    lat_dec = jnp.pad(
+                        latents,
+                        ((0, 0), (0, decode_pad)) + ((0, 0),) * (latents.ndim - 2),
+                    )
+                    frames_u8 = decode_raw(params, lat_dec)[:, :frames_real]
                 else:
                     frames_u8 = decode_raw(params, latents)
                 if n_evals is not None:
@@ -1287,10 +1326,17 @@ class VideoDiffusionPipeline:
         # shard multiple, masks the pad slots out of every cross-frame op,
         # and trims them off the output. Exact vs the local program
         # (tests/test_frame_parallel.py ragged cases).
-        pad_frames = (
+        mesh_pad = (
             (-num_frames) % self.frame_shards if self.frame_shards > 1 else 0
         )
-        local_frames = (num_frames + pad_frames) // self.frame_shards
+        if self._window_parallel:
+            # window parallelism: the denoise runs on REPLICATED unpadded
+            # latents (windows shard over the mesh, not frames); only the
+            # shard-local decode needs the frame axis padded to the mesh
+            pad_frames, decode_pad = 0, mesh_pad
+        else:
+            pad_frames, decode_pad = mesh_pad, 0
+        local_frames = (num_frames + mesh_pad) // self.frame_shards
         chunk = max(1, min(decode_chunk, local_frames))
         while local_frames % chunk:
             chunk -= 1
@@ -1312,7 +1358,7 @@ class VideoDiffusionPipeline:
             decode_opts=decode_opts, variable=use_var,
             t_start=t_start if v2v else 0,
             encode_chunk=chunk if v2v else None,
-            pad_frames=pad_frames,
+            pad_frames=pad_frames, decode_pad=decode_pad,
         )
         tables = self._get_tables(
             scheduler, num_inference_steps,

@@ -147,6 +147,93 @@ def make_windowed_apply(unet_apply, *, total_frames: int, out_channels: int,
     return apply
 
 
+def make_windowed_apply_sharded(unet_apply, *, total_frames: int,
+                                out_channels: int, cfg: ContextConfig,
+                                mesh, axis: str = "frames"):
+    """Window-PARALLEL variant of ``make_windowed_apply``: the per-step
+    windows shard over the mesh axis instead of running sequentially.
+
+    Windows are independent denoiser evaluations on replicated latents, so
+    this is embarrassingly parallel: each device scans its subset of the
+    (statically padded) window list and the blend is a weighted ``psum``.
+    The window count pads to the mesh axis with zero-weight dummy windows
+    (start 0) — their contribution is an exact ``+ 0.0``.
+
+    Exactness vs the sequential blend: the psum reorders the fp32
+    accumulation across devices, but with the standard schedules every
+    frame is covered by at most TWO windows (stride >= frames/2), and
+    two-term fp32 addition is commutative bitwise — so the blended
+    prediction matches the single-device context pipeline exactly
+    (tested on the 8-device CPU mesh at 64 frames). Schedules with
+    triple-covered frames may differ in the last ulp.
+
+    This is the multi-chip story for clips past the trained span: plain
+    frame sharding would hand the motion module a GLOBAL sequence longer
+    than its trained context (PE max 32 — reference
+    docs/02_video_diffusion_architecture.md:69-82), while here every
+    evaluation stays at the trained window length.
+    """
+    import functools
+
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    starts = window_starts(total_frames, cfg.frames, cfg.stride)
+    if len(starts) == 1:
+        return unet_apply
+    n = mesh.shape[axis]
+    ctx = cfg.frames
+    w = jnp.asarray(window_weights(ctx, cfg.weights))[None, :, None, None, None]
+    npad = (-len(starts)) % n
+    starts_p = np.asarray(list(starts) + [0] * npad, np.int32).reshape(
+        n, -1, order="F"  # round-robin: balances real windows across devices
+    )
+    valid_p = np.asarray(
+        [1.0] * len(starts) + [0.0] * npad, np.float32
+    ).reshape(n, -1, order="F")
+
+    def apply(params, x, t, *cond):
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(),) * (3 + len(cond)),
+            out_specs=P(), check_vma=False,
+        )
+        def run(params, x, t, *cond):
+            idx = jax.lax.axis_index(axis)
+            my_starts = jnp.asarray(starts_p)[idx]
+            my_valid = jnp.asarray(valid_p)[idx]
+            acc_shape = x.shape[:4] + (out_channels,)
+            cnt_shape = (1, total_frames, 1, 1, 1)
+
+            def body(carry, sv):
+                s, valid = sv
+                acc, cnt = carry
+                win = jax.lax.dynamic_slice_in_dim(x, s, ctx, axis=1)
+                eps = unet_apply(params, win, t, *cond).astype(jnp.float32)
+                wv = w * valid
+                acc_win = jax.lax.dynamic_slice_in_dim(acc, s, ctx, axis=1)
+                acc = jax.lax.dynamic_update_slice_in_dim(
+                    acc, acc_win + eps * wv, s, axis=1
+                )
+                cnt_win = jax.lax.dynamic_slice_in_dim(cnt, s, ctx, axis=1)
+                cnt = jax.lax.dynamic_update_slice_in_dim(
+                    cnt, cnt_win + wv, s, axis=1
+                )
+                return (acc, cnt), None
+
+            init = (jnp.zeros(acc_shape, jnp.float32),
+                    jnp.zeros(cnt_shape, jnp.float32))
+            (acc, cnt), _ = jax.lax.scan(body, init, (my_starts, my_valid))
+            acc = jax.lax.psum(acc, axis)
+            cnt = jax.lax.psum(cnt, axis)
+            return acc / cnt
+
+        return run(params, x, t, *cond)
+
+    return apply
+
+
 def make_freenoise_maker(latent_shape, ctx: int):
     """FreeNoise initial-noise builder matching ``_noise_maker``'s contract
     (single key for B=1, stacked [B, 2] keys vmapped for B>1; fp32 output).
