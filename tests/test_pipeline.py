@@ -321,3 +321,96 @@ class TestVideoToVideo:
         shard = sharded("portrait", video=vid, strength=0.75, **kw).frames[0]
         diff = np.abs(local.astype(np.int16) - shard.astype(np.int16))
         assert diff.max() <= 1, diff.max()
+
+
+class TestSegmentedDispatch:
+    """Chunked dispatch (``dispatch_steps=K``): the denoise runs as chained
+    K-step programs with device-resident latents + sampler/skip carry —
+    built for the tunneled backend's ~55 s single-dispatch worker ceiling
+    (PERF.md methodology #0). Single-step samplers and the multistep carry
+    chain BIT-IDENTICALLY to the monolithic program; the skip body's fp32
+    fusion differs at the ulp level between segment and monolithic scans
+    (eval decisions identical)."""
+
+    GEN5 = dict(num_frames=4, height=64, width=64, num_inference_steps=5,
+                seed=7, output_type="np")
+
+    def test_euler_bit_exact(self, tiny_pipe):
+        a = tiny_pipe("portrait", scheduler="euler", **self.GEN5)
+        b = tiny_pipe("portrait", scheduler="euler", dispatch_steps=2,
+                      **self.GEN5)
+        np.testing.assert_array_equal(np.asarray(a.latents),
+                                      np.asarray(b.latents))
+        np.testing.assert_array_equal(a.frames[0], b.frames[0])
+
+    def test_dpm_multistep_carry_bit_exact(self, tiny_pipe):
+        """The multistep prev_x0 slot crosses the segment boundary."""
+        a = tiny_pipe("portrait", scheduler="dpm", **self.GEN5)
+        b = tiny_pipe("portrait", scheduler="dpm", dispatch_steps=2,
+                      **self.GEN5)
+        np.testing.assert_array_equal(np.asarray(a.latents),
+                                      np.asarray(b.latents))
+
+    def test_skip_carry_crosses_segments(self):
+        """Skip's (prev_eps, prev_sig, accum) carry crosses segment
+        boundaries: the eval decisions (n_evals) match the monolithic
+        program exactly; latents to fp32 fusion tolerance."""
+        from vdx.pipelines.base import SkipConfig
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            skip=SkipConfig(threshold=0.15, warmup_steps=1,
+                            cooldown_steps=1),
+        )
+        a = pipe("portrait", **self.GEN5)
+        b = pipe("portrait", dispatch_steps=2, **self.GEN5)
+        assert int(a.n_evals) == int(b.n_evals)
+        np.testing.assert_allclose(
+            np.asarray(a.latents), np.asarray(b.latents), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            b.frames[0].astype(np.int32), a.frames[0].astype(np.int32),
+            atol=1,
+        )
+
+    def test_context_composes(self):
+        """Long-clip context windows segment bit-exactly (the use case:
+        128f clips whose monolithic denoise would exceed the dispatch
+        ceiling)."""
+        from vdx.pipelines import ContextConfig
+
+        pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            context=ContextConfig(frames=4, stride=2),
+        )
+        gen = dict(self.GEN5, num_frames=8)
+        a = pipe("portrait", **gen)
+        b = pipe("portrait", dispatch_steps=2, **gen)
+        np.testing.assert_array_equal(np.asarray(a.latents),
+                                      np.asarray(b.latents))
+
+    def test_rejections(self, tiny_pipe):
+        from vdx.pipelines.base import PABConfig
+
+        pab_pipe = AnimateDiffPipeline.with_random_params(
+            seed=0,
+            unet_config=UNetMotionConfig.tiny(),
+            vae_config=VAEConfig.tiny(),
+            text_config=CLIPTextConfig.tiny(),
+            policy=FP32_POLICY,
+            pab=PABConfig(),
+        )
+        with pytest.raises(ValueError, match="PAB"):
+            pab_pipe("portrait", dispatch_steps=2, **self.GEN5)
+        video = np.zeros((4, 64, 64, 3), np.uint8)
+        with pytest.raises(ValueError, match="video2video"):
+            tiny_pipe("portrait", video=video, dispatch_steps=2,
+                      num_inference_steps=5, seed=1)

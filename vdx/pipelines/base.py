@@ -708,7 +708,8 @@ class VideoDiffusionPipeline:
 
     def _denoise_raw(self, scheduler: str, guidance: bool, latent_shape,
                      max_steps: int = 0, num_steps: int = 0,
-                     t_start: int = 0, encode_fn=None, pad_frames: int = 0):
+                     t_start: int = 0, encode_fn=None, pad_frames: int = 0,
+                     segment=None):
         """The denoise program body (unjitted, for composition).
 
         Two modes sharing one step implementation:
@@ -744,6 +745,21 @@ class VideoDiffusionPipeline:
             assert not variable and not is_dpm, (
                 "video2video is a static ddim/euler/edm program"
             )
+        # Segmented dispatch (``segment=(a, b, first, last)``): this program
+        # covers denoise steps [a, b) of the num_steps schedule. The first
+        # segment draws the noise in-program exactly like the monolithic
+        # program; later segments take (latents, carry) as arguments — the
+        # carry threads the sampler/skip state (multistep prev_x0, skip's
+        # prev_eps/prev_sig/accum) so the chained segments reproduce the
+        # monolithic trajectory bit-for-bit. Everything stays device-
+        # resident between dispatches; the use case is the tunnel's ~55 s
+        # single-dispatch ceiling (PERF.md methodology #0) for long clips.
+        if segment is not None:
+            seg_a, seg_b, seg_first, seg_last = segment
+            assert not variable and not v2v and pad_frames == 0
+        else:
+            seg_a = seg_b = None
+            seg_first = seg_last = True
         unet_apply = self._sharded_unet_apply or self.unet.apply
         mesh = self.mesh
         dkey = self.denoiser_param_key
@@ -792,7 +808,7 @@ class VideoDiffusionPipeline:
         progress = self._progress_enabled()
 
         def denoise(params, key, cond, guidance_scale, tables, n=None,
-                    video=None):
+                    video=None, latents_in=None, carry_in=None):
             prep = self._prepare_cond(params, key, cond, latent_shape)
             if v2v:
                 z = encode_fn(params, video)
@@ -800,6 +816,11 @@ class VideoDiffusionPipeline:
                 latents = sampler.add_noise_at(
                     z.astype(jnp.float32), noise, t_start, tables
                 )
+            elif segment is not None and not seg_first:
+                # continuation segment: resume from the previous dispatch's
+                # device-resident state (prep is recomputed — deterministic
+                # for the same key, so conditioning is identical)
+                latents = latents_in
             else:
                 latents = make_noise(prep["key"]) * tables.init_noise_sigma
             if pad_frames:
@@ -908,16 +929,22 @@ class VideoDiffusionPipeline:
                     lat = sampler.step(lat, eps, i, tables, **step_kw)
                     return (lat, eps, sig, accum), do_eval
 
-                zeros = jnp.zeros(latents.shape, jnp.float32)
-                init = (latents, zeros, zeros, jnp.float32(0.0))
-                if is_dpm:
-                    init = init + (sampler.init_state(latents),)
-                res, evals = jax.lax.scan(
-                    body, init, jnp.arange(t_start, num_steps)
-                )
+                if segment is not None and not seg_first:
+                    init = (latents,) + tuple(carry_in)
+                else:
+                    zeros = jnp.zeros(latents.shape, jnp.float32)
+                    init = (latents, zeros, zeros, jnp.float32(0.0))
+                    if is_dpm:
+                        init = init + (sampler.init_state(latents),)
+                lo = seg_a if segment is not None else t_start
+                hi = seg_b if segment is not None else num_steps
+                res, evals = jax.lax.scan(body, init, jnp.arange(lo, hi))
                 # device-computed eval count: observable on backends with
                 # no host-callback support (the axon tunnel)
-                return res[0], jnp.sum(evals.astype(jnp.int32))
+                n_ev = jnp.sum(evals.astype(jnp.int32))
+                if segment is not None and not seg_last:
+                    return (res[0], tuple(res[1:])), n_ev
+                return res[0], n_ev
 
             if is_dpm:
                 # multistep: the carry threads (latents, prev_x0). Under
@@ -943,6 +970,13 @@ class VideoDiffusionPipeline:
                     lat, x0 = real_step(carry[0], i, carry[1])
                     return (lat, x0), None
 
+                if segment is not None:
+                    if not seg_first:
+                        init = (latents,) + tuple(carry_in)
+                    (out, x0), _ = jax.lax.scan(
+                        body, init, jnp.arange(seg_a, seg_b)
+                    )
+                    return out if seg_last else (out, (x0,))
                 (out, _), _ = jax.lax.scan(
                     body, init, jnp.arange(num_steps)
                 )
@@ -959,6 +993,11 @@ class VideoDiffusionPipeline:
             def body(lat, i):
                 return real_step(lat, i), None
 
+            if segment is not None:
+                out, _ = jax.lax.scan(
+                    body, latents, jnp.arange(seg_a, seg_b)
+                )
+                return out if seg_last else (out, ())
             out, _ = jax.lax.scan(
                 body, latents, jnp.arange(t_start, num_steps)
             )
@@ -1192,7 +1231,7 @@ class VideoDiffusionPipeline:
     def _get_program(self, *, scheduler, guidance, latent_shape, num_steps,
                      chunk=None, decode_opts=None, variable=False,
                      t_start=0, encode_chunk=None, pad_frames=0,
-                     decode_pad=0):
+                     decode_pad=0, segment=None):
         """Build-or-fetch the jitted program for this request signature.
 
         chunk=None  -> denoise-only (latent output)
@@ -1209,7 +1248,7 @@ class VideoDiffusionPipeline:
                else ("var", self.variable_steps), chunk,
                tuple(sorted((decode_opts or {}).items())),
                self.pab is not None, self._progress_enabled(),
-               t_start, encode_chunk, pad_frames, decode_pad,
+               t_start, encode_chunk, pad_frames, decode_pad, segment,
                dataclasses.astuple(self.skip) if self.skip else None,
                dataclasses.astuple(self.context) if self.context else None,
                self.guidance_rescale,
@@ -1235,6 +1274,7 @@ class VideoDiffusionPipeline:
             denoise_raw = self._denoise_raw(
                 scheduler, guidance, latent_shape, num_steps=num_steps,
                 t_start=t_start, encode_fn=encode_fn, pad_frames=pad_frames,
+                segment=segment,
             )
 
         skip_stats = self.skip is not None and self.pab is None
@@ -1315,10 +1355,30 @@ class VideoDiffusionPipeline:
                       latent_shape, scheduler: str, num_inference_steps: int,
                       seed, decode_chunk: int, decode_opts=None,
                       output_type: str = "np", latent_only: bool = False,
-                      video=None, t_start: int = 0):
+                      video=None, t_start: int = 0, dispatch_steps: int = 0):
         """The family-independent request path: resolve chunking/sharding,
         pick static vs variable program, dispatch, postprocess."""
         B, num_frames = latent_shape[0], latent_shape[1]
+        if dispatch_steps and dispatch_steps < num_inference_steps:
+            # chunked dispatch takes precedence over variable_steps — the
+            # whole point is to AVOID one monolithic device dispatch
+            if self.pab is not None:
+                raise ValueError(
+                    "dispatch_steps does not compose with PAB (the "
+                    "attention cache is internal to the PAB program)"
+                )
+            if video is not None:
+                raise ValueError(
+                    "dispatch_steps does not compose with video2video"
+                )
+            return self._run_generate_segmented(
+                cond=cond, guidance_arr=guidance_arr, guidance=guidance,
+                latent_shape=latent_shape, scheduler=scheduler,
+                num_inference_steps=num_inference_steps, seed=seed,
+                decode_chunk=decode_chunk, decode_opts=decode_opts,
+                output_type=output_type, latent_only=latent_only,
+                dispatch_steps=dispatch_steps,
+            )
         # Ragged frame sharding: num_frames is a FREE parameter (matching
         # the reference, experiments/05_grid_search_ablation.py:154-169) —
         # when it does not divide the shard count (the 25-frame north star
@@ -1412,6 +1472,82 @@ class VideoDiffusionPipeline:
             latents, frames_u8, n_evals = res
         else:
             latents, frames_u8 = res
+        return self._postprocess(latents, frames_u8, n_evals, output_type, B)
+
+    def _run_generate_segmented(self, *, cond, guidance_arr, guidance: bool,
+                                latent_shape, scheduler: str,
+                                num_inference_steps: int, seed,
+                                decode_chunk: int, decode_opts=None,
+                                output_type: str = "np",
+                                latent_only: bool = False,
+                                dispatch_steps: int = 0):
+        """Chunked dispatch: the denoise runs as ceil(N/K) chained segment
+        programs with DEVICE-RESIDENT state between them (latents + the
+        sampler/skip carry), then one decode program — bit-identical to the
+        monolithic program (tested), but no single dispatch exceeds ~K
+        steps. Exists for the tunneled backend's ~55 s single-dispatch
+        worker ceiling (PERF.md methodology #0): 128-frame context clips
+        need ~80 s of denoise that no monolithic program can dispatch.
+
+        JAX async dispatch keeps the chain gapless: each segment enqueues
+        against the previous segment's output without host sync, so the
+        only added cost is per-dispatch overhead (~40 ms steady-state).
+        """
+        if self.mesh is not None:
+            raise ValueError(
+                "dispatch_steps is a single-chip (tunnel) mechanism; "
+                "multi-chip runs have no dispatch ceiling — use "
+                "frame_shards/window parallelism without it"
+            )
+        B = latent_shape[0]
+        N, K = num_inference_steps, dispatch_steps
+        if getattr(guidance_arr, "ndim", 0) == 1:
+            if guidance_arr.shape[0] != N:
+                raise ValueError(
+                    f"per-step guidance schedule has {guidance_arr.shape[0]} "
+                    f"entries for {N} steps"
+                )
+        key_arr = self._seed_keys(seed, B)
+        tables = self._get_tables(scheduler, N)
+        skip_stats = self.skip is not None
+        bounds = list(range(0, N, K)) + [N]
+        segments = [
+            (a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a
+        ]
+        latents = carry = None
+        n_ev_parts = []
+        for a, b in segments:
+            first, last = a == 0, b == N
+            prog = self._get_program(
+                scheduler=scheduler, guidance=guidance,
+                latent_shape=latent_shape, num_steps=N, chunk=None,
+                segment=(a, b, first, last),
+            )
+            args = (self.params, key_arr, cond, guidance_arr, tables)
+            kwargs = {} if first else {
+                "latents_in": latents, "carry_in": carry,
+            }
+            res = prog(*args, **kwargs)
+            if skip_stats:
+                res, n_ev = res
+                n_ev_parts.append(n_ev)
+            if last:
+                latents = res
+            else:
+                latents, carry = res
+        n_evals = sum(n_ev_parts[1:], n_ev_parts[0]) if n_ev_parts else None
+        if latent_only:
+            return PipelineOutput(frames=[], latents=latents,
+                                  n_evals=n_evals)
+        local_frames = latent_shape[1]
+        chunk = max(1, min(decode_chunk, local_frames))
+        while local_frames % chunk:
+            chunk -= 1
+        decode = self._get_decode(chunk, **(decode_opts or {}))
+        frames_u8 = decode(self.params, latents)
+        return self._postprocess(latents, frames_u8, n_evals, output_type, B)
+
+    def _postprocess(self, latents, frames_u8, n_evals, output_type, B):
         if output_type == "device":
             # Async surface: frames stay on device ([B, F, H, W, 3] uint8)
             # and the call returns as soon as the program is enqueued (JAX
@@ -1469,6 +1605,7 @@ class VideoDiffusionPipeline:
         decode_chunk: int = 8,
         video=None,
         strength: float = 0.8,
+        dispatch_steps: int = 0,
     ) -> PipelineOutput:
         """Text-to-video; pass ``video`` for video2video (SDEdit): the
         input clip ([F, H, W, 3] or [B, F, H, W, 3], uint8 or float in
@@ -1523,7 +1660,7 @@ class VideoDiffusionPipeline:
             num_inference_steps=num_inference_steps, seed=seed,
             decode_chunk=decode_chunk, output_type=output_type,
             latent_only=(output_type == "latent"),
-            video=video, t_start=t_start,
+            video=video, t_start=t_start, dispatch_steps=dispatch_steps,
         )
 
 

@@ -209,6 +209,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
         decode_spatial_tile: int = 0,  # latent px; 0 = untiled
         output_type: str = "np",
         scheduler: Optional[str] = None,
+        dispatch_steps: int = 0,  # chunked dispatch (tunnel's ~55 s ceiling)
     ) -> PipelineOutput:
         assert self.params is not None
         scheduler = scheduler or self.scheduler
@@ -236,6 +237,7 @@ class SVDImg2VidPipeline(VideoDiffusionPipeline):
             num_inference_steps=num_inference_steps, seed=seed,
             decode_chunk=decode_chunk, decode_opts=decode_opts,
             output_type=output_type, latent_only=(output_type == "latent"),
+            dispatch_steps=dispatch_steps,
         )
 
 
