@@ -15,6 +15,7 @@ best-of-2. Families run in separate subprocesses so one OOM cannot take
 down the rest (pass family names as argv to run a subset).
 """
 
+import os
 import subprocess
 import sys
 import time
@@ -115,7 +116,10 @@ def run_cogvideox(pab: bool = False):
                 num_inference_steps=50, guidance_scale=6.0,
                 # untiled causal decode peaks at 18.4 GB > HBM at this shape
                 # (PERF.md); 40-latent tiles keep it ~2.7 GB
-                decode_spatial_tile=40, output_type="np")
+                decode_spatial_tile=40, output_type="np",
+                # 50-step monolithic dispatch may exceed the tunnel's ~55 s
+                # worker ceiling; the parent retries with chunked dispatch
+                dispatch_steps=int(os.environ.get("VDX_DISPATCH_STEPS", "0")))
     if pab:
         # turbo: joint-attention broadcast (the family's one PAB site).
         # Each cached site is [2, ~18k, 1920] bf16 ≈ 131 MB x 30 blocks
@@ -152,6 +156,14 @@ def main() -> None:
     for fam in which:
         print(f"=== {fam} ===", flush=True)
         proc = subprocess.run([sys.executable, __file__, fam], timeout=5400)
+        if proc.returncode != 0 and fam.startswith("cogvideox"):
+            # likely the ~55 s dispatch ceiling — retry chunked (10-step
+            # segments, device-resident carry; PERF.md methodology #0)
+            print(f"{fam}: rc={proc.returncode}; retrying with "
+                  "dispatch_steps=10", flush=True)
+            env = dict(os.environ, VDX_DISPATCH_STEPS="10")
+            proc = subprocess.run([sys.executable, __file__, fam],
+                                  timeout=5400, env=env)
         if proc.returncode != 0:
             print(f"RESULT {fam}: FAILED rc={proc.returncode}", flush=True)
 

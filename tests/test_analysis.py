@@ -19,7 +19,9 @@ from vdx.analysis.common import METRICS_08
 def results_df(reference_root):
     path = reference_root / "outputs/06_grid_search_metrics/grid_search_results.json"
     if not path.exists():
-        pytest.skip("oracle dataset missing")
+        from tests.conftest import golden_skip
+
+        golden_skip("oracle dataset missing")
     return comprehensive.load_results(path)
 
 
@@ -95,7 +97,9 @@ class TestFullTableParity:
     def regenerated(self, reference_root, tmp_path_factory):
         oracle = reference_root / "outputs/06_grid_search_metrics/grid_search_results.json"
         if not oracle.exists():
-            pytest.skip("oracle dataset missing")
+            from tests.conftest import golden_skip
+
+            golden_skip("oracle dataset missing")
         out07 = tmp_path_factory.mktemp("csv07")
         out08 = tmp_path_factory.mktemp("csv08")
         basic.save_all_csvs(basic.load_results(oracle), out07)
@@ -119,7 +123,9 @@ class TestFullTableParity:
     def test_csv_matches_reference(self, regenerated, reference_root, stage, name):
         committed = reference_root / "outputs" / stage / f"{name}.csv"
         if not committed.exists():
-            pytest.skip(f"reference missing {name}.csv")
+            from tests.conftest import golden_skip
+
+            golden_skip(f"reference missing {name}.csv")
         ours = regenerated[stage] / f"{name}.csv"
         assert ours.exists(), f"we did not produce {name}.csv"
         a = pd.read_csv(committed)

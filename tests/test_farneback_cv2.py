@@ -62,7 +62,9 @@ def test_flow_metric_fields_match_cv2_on_natural_pair(reference_root):
         frames_dir = p
         break
     if frames_dir is None:
-        pytest.skip("no committed reference frames")
+        from tests.conftest import golden_skip
+
+        golden_skip("no committed reference frames")
     fs = sorted(pathlib.Path(frames_dir).glob("*.png"))[:2]
     if len(fs) < 2:
         pytest.skip("not enough frames")

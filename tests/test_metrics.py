@@ -37,7 +37,9 @@ def ref_data(reference_root):
             reference_root / "outputs/06_grid_search_metrics" / f"{exp}_metrics.json"
         )
         if not frames_dir.exists() or not metrics_path.exists():
-            pytest.skip(f"committed artifacts missing for {exp}")
+            from tests.conftest import golden_skip
+
+            golden_skip(f"committed artifacts missing for {exp}")
         out[exp] = (load_frames(frames_dir), json.loads(metrics_path.read_text()))
     return out
 

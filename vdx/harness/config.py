@@ -84,8 +84,20 @@ class ExperimentConfig:
     width: int = WIDTH
 
     def save(self, path: Path) -> None:
-        with open(path, "w") as f:
+        """Atomic write (tmp + rename): config.json is the COMMIT MARKER of
+        the resume contract (written last, after frames/GIF — reference
+        experiments/05_grid_search_ablation.py:184-187), so a preempted or
+        kill -9'd study must never leave a truncated marker that falsely
+        marks an experiment complete. POSIX rename is all-or-nothing."""
+        import os
+
+        path = Path(path)
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "w") as f:
             json.dump(dataclasses.asdict(self), f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: Path) -> "ExperimentConfig":

@@ -286,6 +286,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
         scheduler: Optional[str] = None,
         decode_spatial_tile: int = 0,  # latent px; 0 = untiled
         decode_tile_overlap: int = 8,
+        dispatch_steps: int = 0,  # chunked dispatch (tunnel ~55 s ceiling)
     ) -> PipelineOutput:
         assert self.params is not None
         scheduler = scheduler or self.scheduler
@@ -317,6 +318,7 @@ class CogVideoXPipeline(VideoDiffusionPipeline):
             output_type="device" if output_type == "device" else "np",
             decode_opts=decode_opts,
             latent_only=(output_type == "latent"),
+            dispatch_steps=dispatch_steps,
         )
         if output_type in ("latent", "device"):
             return out

@@ -366,17 +366,88 @@ class JobManager:
 
     MAX_JOBS = 256  # completed jobs retained for result pickup (FIFO evict)
 
-    def __init__(self, services: dict):
+    def __init__(self, services: dict, journal_dir=None):
         """services: kind -> GenerationService (e.g. {"t2v": svc,
-        "v2v": svc, "img2vid": i2v})."""
+        "v2v": svc, "img2vid": i2v}).
+
+        ``journal_dir``: durable job journal — the serving analogue of the
+        grid runner's config.json commit-marker contract (SURVEY §5). Each
+        submit atomically writes ``{id}.request.json``; the worker
+        atomically writes ``{id}.result.json`` (or ``.error.json``) on
+        completion. A JobManager constructed over an existing journal
+        RECOVERS it: finished jobs come back status=done with their results
+        servable, unfinished ones requeue (seeded requests regenerate
+        deterministically) — kill -9 loses no job and re-runs no finished
+        one (tests/test_serving.py)."""
         self.services = services
         self.jobs: dict = {}
         self._order: list = []
         self._lock = threading.Lock()
         self._queue: list = []
         self._cv = threading.Condition(self._lock)
+        from pathlib import Path as _Path
+
+        self.journal_dir = _Path(journal_dir) if journal_dir else None
+        if self.journal_dir is not None:
+            self.journal_dir.mkdir(parents=True, exist_ok=True)
+            self._recover()
         self._worker = threading.Thread(target=self._drain, daemon=True)
         self._worker.start()
+
+    # -- journal --------------------------------------------------------
+    def _jfile(self, job_id: str, kind: str):
+        return self.journal_dir / f"{job_id}.{kind}.json"
+
+    @staticmethod
+    def _atomic_json(path, obj) -> None:
+        import os
+
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def _evict_journal(self, job_id: str) -> None:
+        if self.journal_dir is None:
+            return
+        for kind in ("request", "result", "error"):
+            try:
+                self._jfile(job_id, kind).unlink()
+            except FileNotFoundError:
+                pass
+
+    def _recover(self) -> None:
+        """Rebuild job state from the journal (no lock needed: runs before
+        the worker thread starts)."""
+        entries = []
+        for p in self.journal_dir.glob("*.request.json"):
+            try:
+                with open(p) as f:
+                    entries.append(json.load(f))
+            except (OSError, ValueError):
+                continue  # a .tmp-less torn file cannot exist (atomic
+                # rename); unreadable = operator damage, skip loudly below
+        for e in sorted(entries, key=lambda e: e.get("created", 0.0)):
+            job_id = e["id"]
+            job = {"id": job_id, "kind": e["kind"], "status": "queued",
+                   "request": e["request"], "result": None, "error": None,
+                   "progress": None, "created": e.get("created", 0.0)}
+            rfile = self._jfile(job_id, "result")
+            efile = self._jfile(job_id, "error")
+            if rfile.exists():
+                with open(rfile) as f:
+                    job["result"] = json.load(f)
+                job["status"] = "done"
+            elif efile.exists():
+                with open(efile) as f:
+                    job["error"] = json.load(f).get("error", "unknown")
+                job["status"] = "error"
+            else:
+                self._queue.append(job)
+            self.jobs[job_id] = job
+            self._order.append(job_id)
 
     def submit(self, request: dict) -> dict:
         kind = request.pop("kind", "v2v" if "video" in request else None)
@@ -390,6 +461,12 @@ class JobManager:
         job = {"id": job_id, "kind": kind, "status": "queued",
                "request": request, "result": None, "error": None,
                "progress": None, "created": time.time()}
+        if self.journal_dir is not None:
+            self._atomic_json(
+                self._jfile(job_id, "request"),
+                {"id": job_id, "kind": kind, "request": request,
+                 "created": job["created"]},
+            )
         with self._cv:
             self.jobs[job_id] = job
             self._order.append(job_id)
@@ -397,6 +474,7 @@ class JobManager:
                 old = self._order.pop(0)
                 if self.jobs.get(old, {}).get("status") in ("done", "error"):
                     self.jobs.pop(old, None)
+                    self._evict_journal(old)
                 else:  # never evict live jobs
                     self._order.append(old)
                     break
@@ -441,10 +519,19 @@ class JobManager:
                 if job["progress"] is not None:
                     job["progress"] = (job["progress"][1],
                                        job["progress"][1])
+                if self.journal_dir is not None:
+                    # commit marker BEFORE the in-memory done flag: a crash
+                    # between the two re-runs the job (harmless — seeded),
+                    # never loses a result the client was told is done
+                    self._atomic_json(self._jfile(job["id"], "result"),
+                                      job["result"])
                 job["status"] = "done"
             except Exception as e:  # noqa: BLE001 — surfaced via status
                 job["error"] = f"{type(e).__name__}: {e}"
                 job["status"] = "error"
+                if self.journal_dir is not None:
+                    self._atomic_json(self._jfile(job["id"], "error"),
+                                      {"error": job["error"]})
             finally:
                 if is_relay:
                     relay.target = None
