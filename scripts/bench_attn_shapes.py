@@ -32,6 +32,8 @@ def make_fn(spec, scale):
 
     if spec == "bf16p":
         return lambda q, k, v: A._xla_attention_bf16probs(q, k, v, scale)
+    if spec == "bf16ps":
+        return lambda q, k, v: A._xla_attention_bf16probs_static(q, k, v, scale)
     if spec == "packed":
         return lambda q, k, v: A.dot_product_attention(
             q, k, v, scale=scale, impl="xla_bf16p_packed")

@@ -33,18 +33,23 @@ def _bench(pipe, call_kwargs, n_frames, name):
     out = pipe(**call_kwargs, seed=1234)
     out.frames[0][0, 0, 0, 0]
     compile_s = time.time() - t0
+    print(f"compile+first {compile_s:.1f} s", flush=True)
     assert out.frames[0].shape[0] == n_frames, out.frames[0].shape
-    times = []
-    for i in range(2):
+    shape = out.frames[0].shape
+    del out  # big-shape families (CogVideoX 49f@480x720) OOM if two
+    times = []  # requests' buffers overlap
+    for i in range(int(os.environ.get("VDX_BENCH_RUNS", "2"))):
         t0 = time.time()
         out = pipe(**call_kwargs, seed=100 + i)
         out.frames[0][0, 0, 0, 0]
+        del out
         times.append(time.time() - t0)
+        print(f"run {i}: {times[-1]:.2f} s", flush=True)
     sec = min(times)
     print(
         f"RESULT {name}: {sec:.2f} s/video "
         f"({n_frames / sec:.3f} frames/s, compile {compile_s:.1f} s, "
-        f"frames {out.frames[0].shape})",
+        f"frames {shape})",
         flush=True,
     )
 
@@ -106,10 +111,20 @@ def run_cogvideox(pab: bool = False):
     t0 = time.time()
     # T5-XXL (9.4 GB) host-offloads after encode — it doesn't co-fit with
     # the generate program's working set on one chip (PERF.md)
-    pipe = CogVideoXPipeline.with_random_params(
+    kwargs = dict(
         seed=0, dit_config=CogVideoXConfig.b2(), policy=policy,
         offload_text_encoder=True,
     )
+    if pab:
+        # turbo: joint-attention broadcast (the family's one PAB site);
+        # build the PAB pipeline in ONE shot — a second pipeline object
+        # while the first holds device params OOMs at the T5 encode put
+        from vdx.pipelines.base import PABConfig
+
+        kwargs["pab"] = PABConfig(
+            joint_interval=2, warmup_steps=2, cooldown_steps=2
+        )
+    pipe = CogVideoXPipeline.with_random_params(**kwargs)
     print(f"init {time.time() - t0:.1f} s", flush=True)
     call = dict(prompt="a sailboat gliding across a calm lake at dawn",
                 num_frames=49, height=480, width=720,
@@ -121,18 +136,9 @@ def run_cogvideox(pab: bool = False):
                 # worker ceiling; the parent retries with chunked dispatch
                 dispatch_steps=int(os.environ.get("VDX_DISPATCH_STEPS", "0")))
     if pab:
-        # turbo: joint-attention broadcast (the family's one PAB site).
-        # Each cached site is [2, ~18k, 1920] bf16 ≈ 131 MB x 30 blocks
-        # ≈ 3.9 GB — fits alongside the 3.4 GB DiT with T5 offloaded.
-        from vdx.pipelines.base import PABConfig
-
-        params = pipe.params
-        pipe = CogVideoXPipeline(
-            dit_config=CogVideoXConfig.b2(), policy=policy,
-            offload_text_encoder=True,
-            pab=PABConfig(joint_interval=2, warmup_steps=2, cooldown_steps=2),
-        )
-        pipe.params = params
+        # PAB cannot segment (the attention cache is internal to the one
+        # program), so this is a MONOLITHIC 50-step dispatch
+        call["dispatch_steps"] = 0
         _bench(pipe, call, 49, "cogvideox-2b 49f@480x720 50 steps PAB(joint/2)")
         return
     _bench(pipe, call, 49, "cogvideox-2b 49f@480x720 50 steps")

@@ -56,13 +56,18 @@ def test_flash_dt_matches_xla(B, S, H, D):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
-@pytest.mark.parametrize("exp_impl", ["exp2", "fastexp2"])
+@pytest.mark.parametrize(
+    "exp_impl", ["exp2", "fastexp2", "staticmax", "staticaug"]
+)
 def test_flash_dt_exp2_paths_match_xla(exp_impl):
     """Base-2 softmax variants (scale folded into q) stay numerically exact.
 
     fastexp2's cubic has 7.5e-5 max rel error — atol 5e-4 still catches any
     structural mistake (wrong exponent bits, bad clamp) by orders of
-    magnitude."""
+    magnitude. The max-free static variants (p = 2^(s - STATIC_OFF), the
+    offset a power of two so the scaling is floating-point-exact and
+    cancels in acc/l) must hit the same 2e-5 bar as the running-max
+    kernel."""
     from jax.experimental.pallas import tpu as pltpu
 
     from vdx.kernels.flash_attention import flash_attention_dt
@@ -78,7 +83,7 @@ def test_flash_dt_exp2_paths_match_xla(exp_impl):
         got = flash_attention_dt(
             q, k, v, scale=scale, block_q=128, block_k=128, exp_impl=exp_impl
         )
-    atol = 2e-5 if exp_impl == "exp2" else 5e-4
+    atol = 5e-4 if exp_impl == "fastexp2" else 2e-5
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=atol)
 
 

@@ -31,6 +31,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
 
+# Static softmax offset for the max-free flash variants ("staticmax" /
+# "staticaug"): p = 2^(s - STATIC_OFF) instead of 2^(s - rowmax(s)).
+# Scaling by a power of two is EXACT in floating point (mantissas
+# untouched), and the offset cancels in acc/l, so results match the
+# running-max kernel up to summation-order rounding. Domain bound:
+# overflow needs a scaled logit > 127 + 80 = 207 (impossible for sane
+# activations); full-row underflow (NaN guard at finalise) needs EVERY
+# scaled logit in a row below -126 + 80 = -46.
+STATIC_OFF = 80.0
+
 # Degree-3 minimax polynomial for 2^f on f in [0, 1] (rel err 7.5e-5 — 50x
 # below bf16's output grid). Used by the "fastexp2" softmax path.
 _EXP2_C0 = 0.9999250788416159
@@ -196,7 +206,7 @@ def flash_attention_dt(
     scale: float,
     block_q: int = 1024,
     block_k: int = 1024,
-    exp_impl: str = "exp",  # "exp" | "exp2" | "fastexp2"
+    exp_impl: str = "exp",  # "exp" | "exp2" | "fastexp2" | "noexp" | "mxu_only"
 ) -> jnp.ndarray:
     """Transposed-layout flash attention — zero head-dim padding waste.
 
@@ -222,6 +232,11 @@ def flash_attention_dt(
         return x.transpose(0, 2, 3, 1).reshape(B * x.shape[2], x.shape[3], x.shape[1])
 
     qt, kt, vt = fold_t(q), fold_t(k), fold_t(v)
+    if exp_impl == "staticaug":
+        return _flash_dt_staticaug(
+            qt, kt, vt, B=B, H=H, D=D, Sq=Sq, Skv=Skv, scale=scale,
+            block_q=block_q, block_k=block_k,
+        ).reshape(B, H, D, Sq).transpose(0, 3, 1, 2)
     if exp_impl != "exp":
         # Base-2 softmax: fold scale * log2(e) into q once (one cheap XLA
         # pass over [BH, D, S]) so the kernel's scores live in the log2
@@ -287,7 +302,60 @@ def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
 
     # exp_impl != "exp" => scores are already in the log2 domain (scale and
     # log2(e) folded into q host-side) and scale == 1.0 here.
-    exp_fn = {"exp": jnp.exp, "exp2": jnp.exp2, "fastexp2": _fast_exp2}[exp_impl]
+    #
+    # Two DIAGNOSTIC impls for the roofline decomposition (wrong numerics,
+    # identical memory traffic + grid; never dispatched by ops.attention):
+    #   "noexp"    — full online-softmax machinery with the exponential
+    #                replaced by a single VPU add: isolates the cost of the
+    #                exp itself from the max/sum reductions around it.
+    #   "mxu_only" — both matmuls + accumulate only (p = s, no stats): the
+    #                measured MXU floor of this exact kernel/grid/blocks.
+    if exp_impl == "mxu_only":
+        s = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        pv = jax.lax.dot_general(
+            vt, s.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] + pv
+
+        @pl.when(ki == kv_steps - 1)
+        def _finalize_mxu():
+            o_ref[0] = acc_ref[:].astype(o_ref.dtype)
+
+        return
+    # "staticmax" — max-free online softmax: p = 2^(s - STATIC_OFF), no
+    # running-max pass / no acc rescale (the power-of-two offset cancels
+    # exactly in acc/l at finalise; see STATIC_OFF note).
+    if exp_impl == "staticmax":
+        s = jax.lax.dot_general(
+            kt, qt, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if scale != 1.0:
+            s = s * scale
+        if masked:
+            kv_ids = (ki * block_k
+                      + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0))
+            s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+        p = jnp.exp2(s - STATIC_OFF)  # NEG_INF underflows to exactly 0
+        l_ref[:] = l_ref[:] + jnp.sum(p, axis=0, keepdims=True)
+        pv = jax.lax.dot_general(
+            vt, p.astype(vt.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = acc_ref[:] + pv
+
+        @pl.when(ki == kv_steps - 1)
+        def _finalize_static():
+            l = jnp.maximum(l_ref[:], 2.0 ** -126)  # all-row-underflow guard
+            o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+
+        return
+    exp_fn = {"exp": jnp.exp, "exp2": jnp.exp2, "fastexp2": _fast_exp2,
+              "noexp": lambda x: x + 1.0}[exp_impl]
 
     # scores^T [BK, BQ]: contract over D (sublanes of both operands)
     s = jax.lax.dot_general(
@@ -316,6 +384,102 @@ def _flash_dt_kernel(qt_ref, kt_ref, vt_ref, o_ref, acc_ref, m_ref, l_ref,
     @pl.when(ki == kv_steps - 1)
     def _finalize():
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _flash_dt_staticaug(qt, kt, vt, *, B, H, D, Sq, Skv, scale,
+                        block_q, block_k):
+    """Max-free flash with BOTH softmax reductions folded into the MXU.
+
+    Augment the head dim with one constant row so the two matmuls carry the
+    softmax bookkeeping for free (the MXU sits at single-digit utilisation
+    at D=40/64 — see PERF.md round-4 roofline):
+
+      scores:  qa = [q * scale*log2e ; 1],  ka = [k ; -STATIC_OFF]
+               -> s = (scale*log2e) q.k - STATIC_OFF   (subtract fused)
+      PV:      va = [v ; 1]
+               -> pv rows 0..D-1 = P @ V,  row D = rowsum(P) = l  (sum fused)
+
+    Leaves exp2 + the bf16 cast as the ONLY per-score-element VPU work.
+    Same softmax semantics as "staticmax" (power-of-two offset cancels in
+    acc/l); normalisation uses the sum of the BF16-ROUNDED weights actually
+    fed to the PV matmul — self-consistent where the running-max kernel
+    normalises by the pre-rounding fp32 sum.
+    """
+    BH = B * H
+    # One extra constant row, then pad the row axis to the 8-sublane tile.
+    Da = ((D + 1 + 7) // 8) * 8
+    dt = qt.dtype
+
+    def aug(x, row_val):
+        row = jnp.full((BH, 1, x.shape[2]), row_val, dt)
+        return _pad_to(jnp.concatenate([x, row], axis=1), Da, 1)
+
+    qs = (qt.astype(jnp.float32) * (scale * LOG2E)).astype(dt)
+    qa = aug(qs, 1.0)
+    ka = aug(kt, -STATIC_OFF)
+    va = aug(vt, 1.0)
+
+    bq = _min_pad_block(Sq, block_q)
+    bk = _min_pad_block(Skv, block_k)
+    Sqp = ((Sq + bq - 1) // bq) * bq
+    Skvp = ((Skv + bk - 1) // bk) * bk
+    qa = _pad_to(qa, Sqp, 2)
+    ka = _pad_to(ka, Skvp, 2)
+    va = _pad_to(va, Skvp, 2)
+    kv_steps = Skvp // bk
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_dt_staticaug_kernel, kv_steps=kv_steps, kv_len=Skv,
+            block_k=bk, masked=(Skvp != Skv), l_row=D,
+        ),
+        grid=(BH, Sqp // bq, kv_steps),
+        in_specs=[
+            pl.BlockSpec((1, Da, bq), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, Da, bk), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, Da, bk), lambda b, qi, ki: (b, 0, ki)),
+        ],
+        out_specs=pl.BlockSpec((1, Da, bq), lambda b, qi, ki: (b, 0, qi)),
+        out_shape=jax.ShapeDtypeStruct((BH, Da, Sqp), dt),
+        scratch_shapes=[pltpu.VMEM((Da, bq), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(qa, ka, va)
+    return out[:, :D, :Sq]
+
+
+def _flash_dt_staticaug_kernel(qa_ref, ka_ref, va_ref, o_ref, acc_ref, *,
+                               kv_steps, kv_len, block_k, masked, l_row):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qa = qa_ref[0]  # [Da, BQ] — scale*log2e in q, "+1" row at l_row
+    ka = ka_ref[0]  # [Da, BK] — "-STATIC_OFF" row at l_row
+    va = va_ref[0]  # [Da, BK] — ones row at l_row
+
+    # s[bk, bq] = (scale*log2e) q.k - STATIC_OFF, straight off the MXU
+    s = jax.lax.dot_general(
+        ka, qa, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if masked:
+        kv_ids = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        s = jnp.where(kv_ids < kv_len, s, NEG_INF)
+    p = jnp.exp2(s).astype(va.dtype)  # the ONLY per-element VPU work
+
+    # rows 0..D-1: P@V; row l_row: rowsum(P) = l — one MXU op for both
+    pv = jax.lax.dot_general(
+        va, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[:] = acc_ref[:] + pv
+
+    @pl.when(ki == kv_steps - 1)
+    def _finalize():
+        l = jnp.maximum(acc_ref[l_row:l_row + 1, :], 2.0 ** -126)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "block"))

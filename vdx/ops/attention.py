@@ -62,6 +62,28 @@ def _xla_attention_bf16probs(q, k, v, scale: float) -> jnp.ndarray:
     return (out / jnp.swapaxes(l, 1, 2)).astype(q.dtype)
 
 
+def _xla_attention_bf16probs_static(q, k, v, scale: float) -> jnp.ndarray:
+    """bf16-probs short-seq attention with the MAX-FREE static softmax.
+
+    Same trick as the flash kernel's "staticmax" (PERF.md round-4
+    roofline): p = 2^(s*scale*log2e - 80) — the power-of-two offset is
+    floating-point-exact and cancels in out/l, so no rowmax pass or its
+    serialization. Same domain bound (a row of scaled logits ALL below
+    -46 underflows; guard returns zeros there).
+    """
+    from vdx.kernels.flash_attention import LOG2E, STATIC_OFF
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * jnp.asarray(scale * LOG2E, jnp.float32)
+    p = jnp.exp2(scores - STATIC_OFF).astype(jnp.bfloat16)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)  # [b,h,q,1]
+    l = jnp.maximum(l, 2.0 ** -126)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v,
+                     preferred_element_type=jnp.float32)
+    return (out / jnp.swapaxes(l, 1, 2)).astype(q.dtype)
+
+
 def _xla_attention_bf16probs_packed(q, k, v, scale: float, pack: int) -> jnp.ndarray:
     """Block-diagonal PACKED short-sequence attention (exact; NOT dispatched).
 
@@ -174,9 +196,19 @@ def dot_product_attention(
             # block_q spanning the whole sequence (grid = kv steps only)
             # measures 7% faster than 1024x1024 at the level-0 shape
             # (PERF.md block sweep); block_q is clamped to S internally.
+            #
+            # "staticmax": max-free base-2 softmax (p = 2^(s - 80), offset a
+            # power of two so the scaling is fp-exact and cancels in acc/l).
+            # Removing the running-max pass + acc rescale puts the kernel AT
+            # its own matmul-only floor: 69.2 -> 50.4 ms at the SVD L0 site,
+            # 15.8 -> 12.3 ms at the AnimateDiff L0 site (PERF.md round-4
+            # roofline). Domain bound: a row whose EVERY scaled logit is
+            # below -46 underflows to zeros (true softmax there is an
+            # ~uniform average) — unreachable for sane activations; the
+            # running-max kernel remains available via exp_impl="exp2".
             return flash_attention_dt(
                 q, k, v, scale=scale, block_q=4096, block_k=1024,
-                exp_impl="exp2",
+                exp_impl="staticmax",
             )
         from vdx.kernels.flash_attention import flash_attention
 
