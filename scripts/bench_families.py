@@ -38,7 +38,7 @@ def _bench(pipe, call_kwargs, n_frames, name):
     shape = out.frames[0].shape
     del out  # big-shape families (CogVideoX 49f@480x720) OOM if two
     times = []  # requests' buffers overlap
-    for i in range(int(os.environ.get("VDX_BENCH_RUNS", "2"))):
+    for i in range(max(1, int(os.environ.get("VDX_BENCH_RUNS", "2")))):
         t0 = time.time()
         out = pipe(**call_kwargs, seed=100 + i)
         out.frames[0][0, 0, 0, 0]

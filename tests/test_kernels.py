@@ -87,8 +87,11 @@ def test_flash_dt_exp2_paths_match_xla(exp_impl):
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=atol)
 
 
-def test_flash_dt_exp2_bf16_matches_xla():
-    """The PRODUCTION path: bf16 q/k/v through the default exp2 dispatch.
+@pytest.mark.parametrize("exp_impl", ["exp2", "staticmax"])
+def test_flash_dt_bf16_matches_xla(exp_impl):
+    """bf16 q/k/v through both dispatched kernel variants — "staticmax" is
+    the PRODUCTION default (ops/attention.py), "exp2" the running-max
+    fallback kept available via exp_impl.
 
     The scale*log2e fold is computed fp32 and rounded once to bf16, so the
     end-to-end error vs an fp32 reference stays within plain bf16-matmul
@@ -111,12 +114,58 @@ def test_flash_dt_exp2_bf16_matches_xla():
     )
     with pltpu.force_tpu_interpret_mode():
         got = flash_attention_dt(
-            q, k, v, scale=scale, block_q=128, block_k=128, exp_impl="exp2"
+            q, k, v, scale=scale, block_q=128, block_k=128, exp_impl=exp_impl
         )
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(expected), atol=2e-2
     )
+
+
+def test_flash_dt_staticmax_edge_behavior():
+    """Pin the documented domain edges of the max-free "staticmax" default.
+
+    (a) A row whose EVERY scaled log2-logit sits below the underflow bound
+        (~-46 after the -80 offset) flushes to a ZERO output row (the
+        documented divergence from the exact kernel's near-uniform average);
+    (b) rows with large-but-sane logits (scaled magnitude ~30) keep exact
+        parity with the fp32 XLA reference — the power-of-two offset is
+        fp-exact and cancels in acc/l."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vdx.kernels.flash_attention import flash_attention_dt
+
+    key = jax.random.PRNGKey(11)
+    B, S, H, D = 1, 128, 1, 40
+    q = jax.random.normal(key, (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, S, H, D), jnp.float32)
+    scale = D**-0.5
+    # (b) large-logit rows: scale q up so scaled log2-logits reach ~+/-48
+    # (std ~11.5) — far beyond sane activations, well below the
+    # ~207-log2(Skv) overflow bound.
+    q_big = q * 8.0
+    expected = _xla_attention(q_big, k, v, scale, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention_dt(
+            q_big, k, v, scale=scale, block_q=128, block_k=128,
+            exp_impl="staticmax",
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
+
+    # (a) all-negative row: q row 0 pointed hard away from every k makes
+    # every scaled log2-logit < -46 -> documented zero output (the exact
+    # kernel would return a near-uniform v average instead).
+    k_neg = jnp.ones((B, S, H, D), jnp.float32)
+    q_under = q.at[0, 0].set(-4000.0)
+    with pltpu.force_tpu_interpret_mode():
+        got_u = flash_attention_dt(
+            q_under, k_neg, v, scale=scale, block_q=128, block_k=128,
+            exp_impl="staticmax",
+        )
+    row = np.asarray(got_u)[0, 0]
+    np.testing.assert_array_equal(row, np.zeros_like(row))
+    assert not np.isnan(np.asarray(got_u)).any()
 
 
 def test_temporal_attention_cp_matches_xla():

@@ -35,10 +35,13 @@ LOG2E = 1.4426950408889634
 # "staticaug"): p = 2^(s - STATIC_OFF) instead of 2^(s - rowmax(s)).
 # Scaling by a power of two is EXACT in floating point (mantissas
 # untouched), and the offset cancels in acc/l, so results match the
-# running-max kernel up to summation-order rounding. Domain bound:
-# overflow needs a scaled logit > 127 + 80 = 207 (impossible for sane
-# activations); full-row underflow (NaN guard at finalise) needs EVERY
-# scaled logit in a row below -126 + 80 = -46.
+# running-max kernel up to summation-order rounding. Domain bounds:
+# a single p term overflows at a scaled logit > 127 + 80 = 207, and the
+# fp32 l/acc accumulation over Skv terms adds up to log2(Skv) doublings
+# on top, so the tight bound is smax > ~207 - log2(Skv) (~193 at the
+# SVD site's Skv=9216 — still impossible for sane activations);
+# full-row underflow (NaN guard at finalise) needs EVERY scaled logit
+# in a row below -126 + 80 = -46.
 STATIC_OFF = 80.0
 
 # Degree-3 minimax polynomial for 2^f on f in [0, 1] (rel err 7.5e-5 — 50x
@@ -206,7 +209,8 @@ def flash_attention_dt(
     scale: float,
     block_q: int = 1024,
     block_k: int = 1024,
-    exp_impl: str = "exp",  # "exp" | "exp2" | "fastexp2" | "noexp" | "mxu_only"
+    exp_impl: str = "exp",  # "exp" | "exp2" | "fastexp2" | "staticmax" |
+    #                         "staticaug" | "noexp" | "mxu_only"
 ) -> jnp.ndarray:
     """Transposed-layout flash attention — zero head-dim padding waste.
 
