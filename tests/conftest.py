@@ -70,6 +70,11 @@ def pytest_configure(config):
         "markers",
         "quick: fast per-subsystem subset (~8 min); full suite is the gate",
     )
+    config.addinivalue_line(
+        "markers",
+        "oracle_full: ~10-min full 78-record oracle recompute "
+        "(VDX_FULL_ORACLE=1 enables)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

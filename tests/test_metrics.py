@@ -25,7 +25,21 @@ from vdx.metrics.warp import warp_error_pairs, warp_frame
 
 import jax.numpy as jnp
 
-EXPERIMENTS = ["portrait_cfg7.5_steps25", "birds_flying_cfg9.0_steps25"]
+# Span the content/config space: low-motion portrait (mean flow 0.31 px),
+# two high-motion birds configs (6+ px — large-motion flow numerics behave
+# differently through the pyramid), and a steps-phase experiment so the
+# sample isn't all cfg-phase. The FULL 78-record dataset is covered by
+# tests/test_oracle_parity.py; this is the fast-tier sample.
+EXPERIMENTS = [
+    "portrait_cfg7.5_steps25",
+    "birds_flying_cfg9.0_steps25",
+    "birds_flying_cfg5.0_steps25",
+    "portrait_cfg7.5_steps15",
+]
+# experiment whose flow/warp goldens run over ALL pairs, not just the
+# first 3 (a regression on large-motion content would pass a 3-pair
+# sample of the low-motion experiments)
+FULL_FLOW_EXPERIMENT = "birds_flying_cfg5.0_steps25"
 
 
 @pytest.fixture(scope="module")
@@ -68,10 +82,14 @@ class TestGoldenBasicMetrics:
 
 class TestGoldenFlowMetrics:
     def test_flow_magnitude_matches_reference(self, ref_data):
-        """Our from-scratch Farnebäck vs the committed OpenCV-computed values."""
+        """Our from-scratch Farnebäck vs the committed OpenCV-computed values.
+
+        The FULL_FLOW_EXPERIMENT (high-motion) checks every pair; the rest
+        check the first 3 pairs to keep CI fast."""
         for exp, (frames, ref) in ref_data.items():
             gray = (frames.mean(axis=-1) * 255).astype(np.uint8)
-            for i in range(3):  # first 3 pairs: enough signal, keeps CI fast
+            n = len(ref["frame_metrics"]) if exp == FULL_FLOW_EXPERIMENT else 3
+            for i in range(n):
                 flow = calc_flow(gray[i], gray[i + 1])
                 stats = flow_stats(flow)
                 ref_fm = ref["frame_metrics"][i]
@@ -85,7 +103,7 @@ class TestGoldenFlowMetrics:
     def test_warp_error_matches_reference(self, ref_data):
         for exp, (frames, ref) in ref_data.items():
             gray = (frames.mean(axis=-1) * 255).astype(np.uint8)
-            n = 3
+            n = len(ref["frame_metrics"]) if exp == FULL_FLOW_EXPERIMENT else 3
             flows = np.stack(
                 [calc_flow(gray[i], gray[i + 1]) for i in range(n)]
             )
