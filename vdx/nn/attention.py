@@ -160,7 +160,12 @@ class GEGLU(nn.Module):
             name="proj",
         )(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        return h * nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        # exact (erf) gelu: diffusers' GEGLU calls F.gelu with the default
+        # approximate="none" — the tanh approximation drifts ~1e-3 at |x|~2,
+        # visible against real checkpoints (tests/test_block_parity.py).
+        return h * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(
+            h.dtype
+        )
 
 
 class FeedForward(nn.Module):
