@@ -14,7 +14,10 @@ tower bar (atol 2e-5).
 Covered: ResnetBlock2D (+time emb), SpatialTransformer (self+cross+GEGLU),
 TemporalTransformer3D (the AnimateDiff motion module: GN over frames,
 [B,C,F,H,W] -> [B*H*W,F,C] reshape, sinusoidal PE, double self-attn),
-VAE decoder up-block (resnets + upsample) and mid attention block.
+VAE decoder up-block (resnets + upsample) and mid attention block,
+SVD SpatioTemporalResBlock (spatial+temporal resnets, AlphaBlender),
+ModelScope TemporalConvLayer, CogVideoXBlock (expert adaLN-zero, joint
+attention with qk-norm, gelu-approximate FF).
 """
 
 import math
@@ -416,4 +419,303 @@ def test_vae_mid_attention_matches_torch():
     template = jax.eval_shape(model.init, jax.random.PRNGKey(0), jnp.asarray(x))
     params = _convert(ref, template, _strip(_vae_attn_rules("x", ""), "x"))
     got = np.asarray(model.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_svd_spatiotemporal_resblock_matches_torch():
+    """SVD SpatioTemporalResBlock: spatial resnet -> temporal 3x1x1 resnet
+    (per-frame time emb, GN stats over (F,H,W)) -> learned sigmoid
+    AlphaBlender mix (models/svd_unet.py; conversion _svd_res_rules)."""
+    from vdx.core.convert import _svd_res_rules
+    from vdx.models.svd_unet import SpatioTemporalResBlock
+
+    C, B, F, H, W, temb_ch = 32, 1, 3, 4, 4, 48
+
+    class TorchTemporalResBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = tnn.GroupNorm(32, C, eps=1e-5)
+            self.conv1 = tnn.Conv3d(C, C, (3, 1, 1), padding=(1, 0, 0))
+            self.time_emb_proj = tnn.Linear(temb_ch, C)
+            self.norm2 = tnn.GroupNorm(32, C, eps=1e-5)
+            self.conv2 = tnn.Conv3d(C, C, (3, 1, 1), padding=(1, 0, 0))
+
+        def forward(self, x, temb):  # x [B, C, F, H, W], temb [B, F, temb_ch]
+            h = self.conv1(TF.silu(self.norm1(x)))
+            t = self.time_emb_proj(TF.silu(temb))[:, :, :, None, None]
+            h = h + t.permute(0, 2, 1, 3, 4)
+            h = self.conv2(TF.silu(self.norm2(h)))
+            return x + h
+
+    class TorchSTResBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.spatial_res_block = TorchResnetBlock2D(C, C, temb_ch)
+            self.temporal_res_block = TorchTemporalResBlock()
+            mixer = tnn.Module()
+            mixer.mix_factor = tnn.Parameter(torch.tensor([0.5]))
+            self.time_mixer = mixer
+
+        def forward(self, x, temb, num_frames):  # x [B*F, C, H, W]
+            s = self.spatial_res_block(x, temb)
+            BF, _, Hh, Ww = s.shape
+            Bb = BF // num_frames
+            mix = s.reshape(Bb, num_frames, C, Hh, Ww).permute(0, 2, 1, 3, 4)
+            t = self.temporal_res_block(
+                mix, temb.reshape(Bb, num_frames, -1)
+            )
+            alpha = torch.sigmoid(self.time_mixer.mix_factor)[0]
+            out = alpha * mix + (1 - alpha) * t
+            return out.permute(0, 2, 1, 3, 4).reshape(BF, C, Hh, Ww)
+
+    torch.manual_seed(5)
+    ref = TorchSTResBlock().eval()
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((B * F, H, W, C), np.float32)
+    temb = rng.standard_normal((B * F, temb_ch), np.float32)
+    with torch.no_grad():
+        want = (
+            ref(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                torch.from_numpy(temb), F)
+            .numpy().transpose(0, 2, 3, 1)
+        )
+
+    model = SpatioTemporalResBlock(C, policy=FP32_POLICY)
+    template = jax.eval_shape(
+        lambda k, xx, tt: model.init(k, xx, tt, F),
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(temb),
+    )
+    params = _convert(ref, template, _strip(_svd_res_rules("x", ""), "x"))
+    got = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(temb), F))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_unet3d_temporal_conv_matches_torch():
+    """ModelScope TemporalConvLayer: 4x Sequential(GN, SiLU, Conv3d(3,1,1))
+    with residual (models/unet3d.py; conversion _temporal_conv_rules)."""
+    from vdx.core.convert import _temporal_conv_rules
+    from vdx.models.unet3d import TemporalConv
+
+    C, B, F, H, W = 32, 2, 3, 4, 4
+
+    class TorchTemporalConvLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            for i in range(1, 5):
+                setattr(self, f"conv{i}", tnn.Sequential(
+                    tnn.GroupNorm(32, C, eps=1e-5), tnn.SiLU(),
+                    tnn.Conv3d(C, C, (3, 1, 1), padding=(1, 0, 0)),
+                ))
+
+        def forward(self, x, num_frames):  # [B*F, C, H, W]
+            BF, _, Hh, Ww = x.shape
+            Bb = BF // num_frames
+            h = x.reshape(Bb, num_frames, C, Hh, Ww).permute(0, 2, 1, 3, 4)
+            res = h
+            for i in range(1, 5):
+                h = getattr(self, f"conv{i}")(h)
+            h = res + h
+            return h.permute(0, 2, 1, 3, 4).reshape(BF, C, Hh, Ww)
+
+    torch.manual_seed(6)
+    ref = TorchTemporalConvLayer().eval()
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((B * F, H, W, C), np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)), F).numpy(
+        ).transpose(0, 2, 3, 1)
+
+    model = TemporalConv(policy=FP32_POLICY)
+    template = jax.eval_shape(
+        lambda k, xx: model.init(k, xx, F), jax.random.PRNGKey(0), jnp.asarray(x)
+    )
+    params = _convert(ref, template, _strip(_temporal_conv_rules("x", ""), "x"))
+    got = np.asarray(model.apply(params, jnp.asarray(x), F))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_cogvideox_block_matches_torch():
+    """CogVideoXBlock: expert adaLN-zero (shared LN, 6-chunk SiLU-Linear
+    modulation), joint [text;video] attention with biased qkv + per-head
+    q/k LayerNorm, shared gelu-approximate FF (models/cogvideox.py;
+    conversion cogvideox_dit_rules block section)."""
+    from vdx.core.convert import cogvideox_dit_rules
+    from vdx.models.cogvideox import CogVideoXBlock, CogVideoXConfig
+
+    cfg = CogVideoXConfig(
+        hidden_size=32, num_heads=2, depth=1, mlp_ratio=4, use_rotary=False
+    )
+    D, heads, head_dim = 32, 2, 16
+    Dc = 24  # conditioning width
+
+    class TorchLayerNormZero(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.linear = tnn.Linear(Dc, 6 * D)
+            self.norm = tnn.LayerNorm(D, eps=1e-5)
+
+        def forward(self, vid, txt, c):
+            mod = self.linear(TF.silu(c))[:, None]
+            shift, scale, gate, e_shift, e_scale, e_gate = mod.chunk(6, dim=-1)
+            return (
+                self.norm(vid) * (1 + scale) + shift,
+                self.norm(txt) * (1 + e_scale) + e_shift,
+                gate, e_gate,
+            )
+
+    class TorchCogAttention(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            inner = heads * head_dim
+            self.to_q = tnn.Linear(D, inner)
+            self.to_k = tnn.Linear(D, inner)
+            self.to_v = tnn.Linear(D, inner)
+            self.norm_q = tnn.LayerNorm(head_dim, eps=1e-6)
+            self.norm_k = tnn.LayerNorm(head_dim, eps=1e-6)
+            self.to_out = tnn.ModuleList([tnn.Linear(inner, D)])
+
+        def forward(self, x):
+            B, S, _ = x.shape
+            q = self.norm_q(self.to_q(x).view(B, S, heads, head_dim))
+            k = self.norm_k(self.to_k(x).view(B, S, heads, head_dim))
+            v = self.to_v(x).view(B, S, heads, head_dim)
+            q, k, v = (a.transpose(1, 2) for a in (q, k, v))
+            s = torch.einsum("bhqd,bhkd->bhqk", q, k) * head_dim**-0.5
+            o = torch.einsum(
+                "bhqk,bhkd->bhqd", s.float().softmax(-1).to(v.dtype), v
+            )
+            return self.to_out[0](o.transpose(1, 2).reshape(B, S, -1))
+
+    class TorchCogBlock(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.norm1 = TorchLayerNormZero()
+            self.attn1 = TorchCogAttention()
+            self.norm2 = TorchLayerNormZero()
+            ff = tnn.Module()
+            g = tnn.Module()
+            g.proj = tnn.Linear(D, 4 * D)
+            ff.net = tnn.ModuleList([g, tnn.Identity(), tnn.Linear(4 * D, D)])
+            self.ff = ff
+
+        def forward(self, vid, txt, c):
+            S_txt = txt.shape[1]
+            hv, ht, gate, e_gate = self.norm1(vid, txt, c)
+            out = self.attn1(torch.cat([ht, hv], dim=1))
+            vid = vid + gate * out[:, S_txt:]
+            txt = txt + e_gate * out[:, :S_txt]
+            hv, ht, gate, e_gate = self.norm2(vid, txt, c)
+            h = torch.cat([ht, hv], dim=1)
+            h = self.ff.net[2](TF.gelu(self.ff.net[0].proj(h), approximate="tanh"))
+            vid = vid + gate * h[:, S_txt:]
+            txt = txt + e_gate * h[:, :S_txt]
+            return vid, txt
+
+    torch.manual_seed(7)
+    wrapper = tnn.Module()
+    wrapper.transformer_blocks = tnn.ModuleList([TorchCogBlock()])
+    ref = wrapper.eval()
+
+    rng = np.random.default_rng(7)
+    vid = rng.standard_normal((2, 10, D), np.float32)
+    txt = rng.standard_normal((2, 5, D), np.float32)
+    c = rng.standard_normal((2, Dc), np.float32)
+    blk = ref.transformer_blocks[0]
+    with torch.no_grad():
+        want_vid, want_txt = blk(
+            torch.from_numpy(vid), torch.from_numpy(txt), torch.from_numpy(c)
+        )
+
+    model = CogVideoXBlock(cfg, policy=FP32_POLICY)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.asarray(vid), jnp.asarray(txt),
+        jnp.asarray(c),
+    )
+    rules = {
+        k.split("/", 1)[1]: v
+        for k, v in cogvideox_dit_rules(cfg).items()
+        if k.startswith("blocks_0/")
+    }
+    params = _convert(ref, template, rules)
+    got_vid, got_txt = model.apply(
+        params, jnp.asarray(vid), jnp.asarray(txt), jnp.asarray(c)
+    )
+    np.testing.assert_allclose(np.asarray(got_vid), want_vid.numpy(), atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got_txt), want_txt.numpy(), atol=ATOL)
+
+
+def test_latte_dit_block_matches_torch():
+    """Latte/PixArt ada_norm_single block: per-block modulation =
+    scale_shift_table + global adaln_single linear (silu'd embedded
+    timestep, linear bias included), LN(no-affine, 1e-6) + modulate ->
+    attn1, cross-attn on RAW hidden states (no norm), modulate -> ff with
+    gelu-approximate (NOT GEGLU). Conversion: latte_dit_rules block
+    section incl. the two-key combined bias rule."""
+    from vdx.core.convert import latte_dit_rules
+    from vdx.models.dit import DiTBlock, LatteConfig
+
+    cfg = LatteConfig(hidden_size=32, depth=2, num_heads=2,
+                      cross_attention_dim=24)
+    D, heads, head_dim, ctx_dim = 32, 2, 16, 24
+
+    class TorchLatte(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            adaln = tnn.Module()
+            adaln.linear = tnn.Linear(D, 6 * D)
+            self.adaln_single = adaln
+            blk = tnn.Module()
+            blk.scale_shift_table = tnn.Parameter(torch.randn(6, D) / D**0.5)
+            blk.norm1 = tnn.LayerNorm(D, eps=1e-6, elementwise_affine=False)
+            blk.attn1 = TorchAttention(D, heads, head_dim)
+            blk.attn2 = TorchAttention(D, heads, head_dim, ctx_dim=ctx_dim)
+            blk.norm2 = tnn.LayerNorm(D, eps=1e-6, elementwise_affine=False)
+            ff = tnn.Module()
+            g = tnn.Module()
+            g.proj = tnn.Linear(D, 4 * D)
+            ff.net = tnn.ModuleList([g, tnn.Identity(), tnn.Linear(4 * D, D)])
+            blk.ff = ff
+            self.transformer_blocks = tnn.ModuleList([blk])
+
+        def forward(self, x, c, context):
+            blk = self.transformer_blocks[0]
+            B = x.shape[0]
+            mod = self.adaln_single.linear(TF.silu(c)).reshape(B, 6, D)
+            mod = blk.scale_shift_table[None] + mod
+            s_a, sc_a, g_a, s_m, sc_m, g_m = (m[:, None] for m in mod.unbind(1))
+            h = blk.norm1(x) * (1 + sc_a) + s_a
+            x = x + g_a * blk.attn1(h)
+            x = x + blk.attn2(x, context)  # ada_norm_single: no norm here
+            h = blk.norm2(x) * (1 + sc_m) + s_m
+            h = blk.ff.net[2](TF.gelu(blk.ff.net[0].proj(h), approximate="tanh"))
+            return x + g_m * h
+
+    torch.manual_seed(8)
+    ref = TorchLatte().eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((2, 9, D), np.float32)
+    c = rng.standard_normal((2, D), np.float32)
+    ctx = rng.standard_normal((2, 5, ctx_dim), np.float32)
+    with torch.no_grad():
+        want = ref(
+            torch.from_numpy(x), torch.from_numpy(c), torch.from_numpy(ctx)
+        ).numpy()
+
+    model = DiTBlock(cfg, use_cross_attn=True, policy=FP32_POLICY)
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(c),
+        jnp.asarray(ctx),
+    )
+    rules = {
+        k.split("/", 1)[1]: v
+        for k, v in latte_dit_rules(cfg).items()
+        if k.startswith("blocks_0/")
+    }
+    params = _convert(ref, template, rules)
+    got = np.asarray(model.apply(
+        params, jnp.asarray(x), jnp.asarray(c), jnp.asarray(ctx)
+    ))
     np.testing.assert_allclose(got, want, atol=ATOL)

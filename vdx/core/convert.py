@@ -708,19 +708,28 @@ def t_flatten(w):  # [6, D] scale_shift_table -> adaLN bias [6*D]
     return np.asarray(w).reshape(-1)
 
 
+def t_bias_plus_table(bias, table):
+    """adaLN bias: global adaln_single linear bias + per-block table.
+
+    The checkpoint's block modulation is
+    ``scale_shift_table[None] + (W @ silu(emb) + b)`` — our per-block
+    AdaLNModulation folds it as kernel=W, bias=(b + table.flatten())."""
+    return np.asarray(bias) + np.asarray(table).reshape(-1)
+
+
 def latte_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
     """Our LatteDiT param path -> diffusers Latte key.
 
-    Latte factorises adaLN as ONE global linear (adaln_single) plus a
-    per-block scale_shift_table added to its output; our per-block
+    Latte factorises adaLN as ONE global linear (adaln_single, WITH bias)
+    plus a per-block scale_shift_table added to its output; our per-block
     AdaLNModulation reproduces that exactly when every block's kernel
-    loads the global linear and its bias loads the block's table
-    (modulation = kernel @ silu(c) + bias == global(c) + table).
+    loads the global linear and its bias loads the global bias + block
+    table (modulation = kernel @ silu(c) + bias == global(c) + table).
+    The final modulation is table + raw embedded timestep — a bare
+    [2, D] table param in our model (models/dit.py).
 
-    Two leaves have no checkpoint counterpart (Latte adds the embedded
-    timestep to the final table directly — an implicit identity kernel):
-    our final_adaln kernel and the temporal-block cross norms; they are
-    listed in LATTE_UNCOVERED and left at init.
+    Numerics pinned vs a hand-written torch mirror of the block at
+    tests/test_block_parity.py::test_latte_dit_block_matches_torch.
     """
     rules: Dict[str, Tuple[str, Callable]] = {
         "patch_embed/kernel": ("pos_embed.proj.weight", t_patch_conv),
@@ -729,7 +738,7 @@ def latte_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
         "t_proj_1/bias": ("adaln_single.emb.timestep_embedder.linear_1.bias", t_id),
         "t_proj_2/kernel": ("adaln_single.emb.timestep_embedder.linear_2.weight", t_dense),
         "t_proj_2/bias": ("adaln_single.emb.timestep_embedder.linear_2.bias", t_id),
-        "final_adaln/proj/bias": ("scale_shift_table", t_flatten),
+        "final_scale_shift_table": ("scale_shift_table", t_id),
         "final_proj/kernel": ("proj_out.weight", t_dense),
         "final_proj/bias": ("proj_out.bias", t_id),
     }
@@ -739,7 +748,10 @@ def latte_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
         hp = (f"transformer_blocks.{i // 2}" if spatial
               else f"temporal_transformer_blocks.{i // 2}")
         rules[f"{bp}/adaln/proj/kernel"] = ("adaln_single.linear.weight", t_dense)
-        rules[f"{bp}/adaln/proj/bias"] = (f"{hp}.scale_shift_table", t_flatten)
+        rules[f"{bp}/adaln/proj/bias"] = (
+            ("adaln_single.linear.bias", f"{hp}.scale_shift_table"),
+            t_bias_plus_table,
+        )
         for ours, theirs in [("attn", "attn1"), ("cross_attn", "attn2")]:
             for proj in ("to_q", "to_k", "to_v"):
                 rules[f"{bp}/{ours}/{proj}/kernel"] = (
@@ -755,9 +767,10 @@ def latte_dit_rules(config) -> Dict[str, Tuple[str, Callable]]:
     return rules
 
 
-# Leaves of ours with no Latte checkpoint counterpart (kept at init values;
-# see latte_dit_rules docstring).
-LATTE_UNCOVERED = ("final_adaln/proj/kernel",)
+# Historical: leaves with no Latte checkpoint counterpart. Empty since the
+# final modulation became a bare table param (models/dit.py) — every Latte
+# leaf now converts.
+LATTE_UNCOVERED: Tuple[str, ...] = ()
 
 
 # ----------------------------------------------------------------------
@@ -889,12 +902,17 @@ def convert_checkpoint(
             out[path] = leaf
             continue
         hf_key, transform = rules[path]
-        if hf_key not in state_dict:
-            missing.append(f"checkpoint missing {hf_key} (for {path})")
+        # A rule may combine SEVERAL checkpoint tensors into one leaf
+        # (hf_key = tuple; transform receives them positionally) — e.g.
+        # Latte's per-block adaLN bias = global linear bias + block table.
+        keys = hf_key if isinstance(hf_key, tuple) else (hf_key,)
+        absent = [k for k in keys if k not in state_dict]
+        if absent:
+            missing.append(f"checkpoint missing {absent[0]} (for {path})")
             out[path] = leaf
             continue
-        w = transform(state_dict[hf_key])
-        used.add(hf_key)
+        w = transform(*(state_dict[k] for k in keys))
+        used.update(keys)
         if tuple(w.shape) != tuple(leaf.shape):
             shape_errors.append(f"{path}: got {w.shape}, want {tuple(leaf.shape)}")
             out[path] = leaf

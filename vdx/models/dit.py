@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from vdx.core.dtypes import DEFAULT_POLICY, Policy
-from vdx.nn.attention import Attention, FeedForward
+from vdx.nn.attention import Attention, GELUFeedForward
 from vdx.nn.embeddings import get_timestep_embedding, sinusoidal_positional_encoding
 
 
@@ -105,17 +105,23 @@ class DiTBlock(nn.Module):
         x = x + gate_a * h
 
         if self.use_cross_attn and context is not None:
-            h = ln("norm_cross")(x).astype(x.dtype)
+            # ada_norm_single applies cross-attention on the RAW hidden
+            # states (diffusers skips norm2 before attn2 for the PixArt/
+            # Latte block family) — pinned vs torch in
+            # tests/test_block_parity.py::test_latte_dit_block_matches_torch
             h = Attention(
                 D, cfg.num_heads, head_dim,
                 context_dim=cfg.cross_attention_dim,
                 policy=self.policy, pab=self.pab, name="cross_attn",
-            )(h, context, refresh=refresh_cross)
+            )(x, context, refresh=refresh_cross)
             x = x + h
 
         h = ln("norm2")(x).astype(x.dtype)
         h = _modulate(h, shift_m, scale_m)
-        h = FeedForward(D, mult=cfg.mlp_ratio, policy=self.policy, name="mlp")(h)
+        # gelu-approximate FF — the checkpoint family's activation (not GEGLU)
+        h = GELUFeedForward(
+            D, mult=cfg.mlp_ratio, policy=self.policy, name="mlp"
+        )(h)
         x = x + gate_m * h
         return x
 
@@ -255,8 +261,18 @@ class LatteDiT(nn.Module):
                                             concat_axis=0, tiled=True)
                 x = xt.reshape(B, N, F, D).transpose(0, 2, 1, 3)
 
-        # Final adaLN + projection, unpatchify
-        shift, scale = AdaLNModulation(D, 2, self.policy, name="final_adaln")(c)
+        # Final adaLN + projection, unpatchify. The checkpoint family's
+        # final modulation is table + RAW embedded timestep (no silu, no
+        # linear — diffusers adds `scale_shift_table[None] +
+        # embedded_timestep[:, None]`), so this is a bare table param, not
+        # an AdaLNModulation.
+        ft = self.param(
+            "final_scale_shift_table", nn.initializers.zeros, (2, D),
+            self.policy.param_dtype,
+        ).astype(jnp.float32)
+        cm = c.astype(jnp.float32)
+        shift = (ft[0][None] + cm)[:, None, :].astype(x.dtype)
+        scale = (ft[1][None] + cm)[:, None, :].astype(x.dtype)
         ln_f = nn.LayerNorm(epsilon=1e-6, use_bias=False, use_scale=False,
                             dtype=jnp.float32, name="final_norm")
         x = _modulate(ln_f(x.reshape(B, F * N, D)).astype(x.dtype),

@@ -182,3 +182,41 @@ class FeedForward(nn.Module):
             param_dtype=self.policy.param_dtype,
             name="net_2",
         )(h)
+
+
+class _GELUProj(nn.Module):
+    """diffusers GELU activation module: Linear 'proj' + tanh-approx gelu."""
+
+    dim_out: int
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(
+            self.dim_out,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="proj",
+        )(x)
+        return nn.gelu(h.astype(jnp.float32), approximate=True).astype(h.dtype)
+
+
+class GELUFeedForward(nn.Module):
+    """diffusers FeedForward(activation_fn="gelu-approximate") — the
+    PixArt/ada_norm_single family's FF (Latte uses this, NOT GEGLU).
+    Param paths mirror FeedForward (net_0/proj, net_2) so the conversion
+    rules' key structure is shared; only the proj width differs (4C vs 8C)."""
+
+    dim: int
+    mult: int = 4
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = _GELUProj(self.dim * self.mult, policy=self.policy, name="net_0")(x)
+        return nn.Dense(
+            self.dim,
+            dtype=self.policy.compute_dtype,
+            param_dtype=self.policy.param_dtype,
+            name="net_2",
+        )(h)
