@@ -1006,11 +1006,20 @@ class VideoDiffusionPipeline:
         return denoise
 
     def _denoise_raw_pab(self, num_steps, scheduler, guidance, latent_shape,
-                         pab: PABConfig, pad_frames: int = 0):
+                         pab: PABConfig, pad_frames: int = 0, segment=None):
         """PAB variant: step 0 populates the attention cache (outside the
         scan so the carry structure exists); steps 1..N-1 scan with the
         cache threaded through the carry and per-type refresh flags.
         Tables are closed over (the program is per-step-count anyway).
+
+        Composes with ``dispatch_steps`` (``segment=(a, b, first, last)``):
+        the attention cache rides the inter-segment carry exactly like the
+        sampler state — device-resident between dispatches, bit-identical
+        to the monolithic PAB program (tests/test_pipeline.py). Refresh
+        flags use GLOBAL step indices, so the broadcast schedule is
+        unchanged by segmentation. This is what lets turbo modes run at
+        shapes whose full program exceeds the tunnel's ~55 s dispatch
+        ceiling (CogVideoX 49f@480x720: a ~128 s exact program).
 
         Composes with ``frame_shards``: the ring denoiser runs inside a
         shard_map whose in/out specs carry the cache — spatial/cross cache
@@ -1124,8 +1133,15 @@ class VideoDiffusionPipeline:
 
             return create, step
 
+        if segment is not None:
+            seg_a, seg_b, seg_first, seg_last = segment
+            assert pad_frames == 0 and mesh is None
+        else:
+            seg_a, seg_b = 0, num_steps
+            seg_first = seg_last = True
+
         def denoise(params, key, cond, guidance_scale, _tables=None, n=None,
-                    video=None):
+                    video=None, latents_in=None, carry_in=None):
             assert video is None, "video2video does not compose with PAB"
             prep = self._prepare_cond(params, key, cond, latent_shape)
             latents = make_noise(prep["key"]) * tables.init_noise_sigma
@@ -1188,17 +1204,28 @@ class VideoDiffusionPipeline:
                     eps = cfg_combine(u, c, g_i, self.guidance_rescale)
                 return sampler.step(lat, eps, i, tables, **step_kw), new_cache
 
-            # step 0: creates the cache collection
-            latents, cache = unet_step(latents, jnp.asarray(0), None)
+            if seg_first:
+                # step 0: creates the cache collection (outside the scan so
+                # the carry structure exists)
+                latents, cache = unet_step(latents, jnp.asarray(0), None)
+                start = 1
+            else:
+                # continuation segment: resume from the previous dispatch's
+                # device-resident latents + attention cache
+                latents = latents_in
+                (cache,) = tuple(carry_in)
+                start = seg_a
 
             def body(carry, i):
                 lat, cache = carry
                 lat, cache = unet_step(lat, i, cache)
                 return (lat, cache), None
 
-            (latents, _), _ = jax.lax.scan(
-                body, (latents, cache), jnp.arange(1, num_steps)
+            (latents, cache), _ = jax.lax.scan(
+                body, (latents, cache), jnp.arange(start, seg_b)
             )
+            if segment is not None and not seg_last:
+                return latents, (cache,)
             return latents
 
         return denoise
@@ -1263,7 +1290,7 @@ class VideoDiffusionPipeline:
         if self.pab is not None:
             denoise_raw = self._denoise_raw_pab(
                 num_steps, scheduler, guidance, latent_shape, self.pab,
-                pad_frames=pad_frames,
+                pad_frames=pad_frames, segment=segment,
             )
         elif variable:
             denoise_raw = self._denoise_raw(
@@ -1361,12 +1388,9 @@ class VideoDiffusionPipeline:
         B, num_frames = latent_shape[0], latent_shape[1]
         if dispatch_steps and dispatch_steps < num_inference_steps:
             # chunked dispatch takes precedence over variable_steps — the
-            # whole point is to AVOID one monolithic device dispatch
-            if self.pab is not None:
-                raise ValueError(
-                    "dispatch_steps does not compose with PAB (the "
-                    "attention cache is internal to the PAB program)"
-                )
+            # whole point is to AVOID one monolithic device dispatch.
+            # PAB composes: its attention cache rides the inter-segment
+            # carry (see _denoise_raw_pab).
             if video is not None:
                 raise ValueError(
                     "dispatch_steps does not compose with video2video"
