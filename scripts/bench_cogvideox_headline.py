@@ -8,7 +8,10 @@ near the HBM limit, and the first request leaves the text-embed cache +
 allocator fragmentation behind. Mitigations here: explicit gc between
 requests and a smaller decode tile (peak scales with tile area).
 
-Usage: python scripts/bench_cogvideox_headline.py [runs] [decode_tile] [K]
+Usage: python scripts/bench_cogvideox_headline.py [runs] [decode_tile] [K] [pab]
+  4th arg "pab" = PABConfig(joint_interval=2) — the family's single
+  broadcast site — composed WITH chunked dispatch (the cache rides the
+  inter-segment carry; pipelines/base._denoise_raw_pab).
 """
 
 import gc
@@ -23,6 +26,7 @@ def main():
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     tile = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    pab = len(sys.argv) > 4 and sys.argv[4] == "pab"
 
     import jax
     import jax.numpy as jnp
@@ -39,11 +43,17 @@ def main():
 
     policy = Policy(param_dtype=jnp.bfloat16, compute_dtype=jnp.bfloat16)
     t0 = time.time()
-    pipe = CogVideoXPipeline.with_random_params(
+    kwargs = dict(
         seed=0, dit_config=CogVideoXConfig.b2(), policy=policy,
         offload_text_encoder=True,
     )
-    print(f"init {time.time() - t0:.1f} s", flush=True)
+    if pab:
+        from vdx.pipelines.base import PABConfig
+
+        kwargs["pab"] = PABConfig(joint_interval=2, warmup_steps=2,
+                                  cooldown_steps=2)
+    pipe = CogVideoXPipeline.with_random_params(**kwargs)
+    print(f"init {time.time() - t0:.1f} s (pab={pab})", flush=True)
 
     call = dict(prompt="a sailboat gliding across a calm lake at dawn",
                 num_frames=49, height=480, width=720,
@@ -69,8 +79,10 @@ def main():
         gc.collect()
         print(f"run {i}: {times[-1]:.2f} s", flush=True)
     sec = min(times)
-    print(f"RESULT cogvideox-2b 49f@480x720 50 steps (K={K}, tile={tile}): "
-          f"{sec:.2f} s/video ({49 / sec:.3f} frames/s)", flush=True)
+    tag = " PAB(joint/2)" if pab else ""
+    print(f"RESULT cogvideox-2b 49f@480x720 50 steps{tag} (K={K}, "
+          f"tile={tile}): {sec:.2f} s/video ({49 / sec:.3f} frames/s)",
+          flush=True)
 
 
 if __name__ == "__main__":

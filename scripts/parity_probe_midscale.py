@@ -49,14 +49,23 @@ def build(policy_name: str):
 
 
 def run(mode: str, out_path: str):
+    """Modes: cpu (fp32 reference) | tpu (bf16 production program) |
+    tpu32 (fp32 on TPU — isolates backend/kernels from dtype) |
+    cpu_bf16 (bf16 on CPU — isolates dtype from backend)."""
     import jax
 
-    if mode == "cpu":
+    if mode.startswith("cpu"):
         jax.config.update("jax_platforms", "cpu")
-        pipe = build("fp32")
+        pipe = build("bf16" if mode == "cpu_bf16" else "fp32")
     else:
         assert jax.devices()[0].platform != "cpu", "tpu leg needs the tunnel"
-        pipe = build("bf16")
+        if mode == "tpu32hp":
+            # TRUE fp32 matmuls on the MXU (6-pass): the backend-correctness
+            # control. TPU's DEFAULT precision computes fp32 dots as a
+            # single bf16 MXU pass, so a plain fp32 program on TPU carries
+            # bf16-class matmul rounding regardless of dtypes.
+            jax.config.update("jax_default_matmul_precision", "highest")
+        pipe = build("bf16" if mode == "tpu" else "fp32")
     t0 = time.time()
     out = pipe(PROMPT, seed=SEED_GEN, **GEN)
     frames = np.asarray(out.frames[0])

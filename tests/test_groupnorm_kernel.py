@@ -73,6 +73,14 @@ def test_pick_chunk_mosaic_sublane_constraint():
     assert pallas_gn_viable((1, 13, 60, 90, 512))   # 2phase, chunk 936
     assert not pallas_gn_viable((1, 5850, 512))     # -> XLA fallback
     assert pallas_gn_viable((2, 64, 320))           # single-program path
+    # budget is in BYTES: [16,1024,960] f32 overflows the single-program
+    # scoped-vmem block (caught live on TPU) and must route to 2-phase,
+    # while the same shape in bf16 stays single-program
+    from vdx.kernels.groupnorm import _SINGLE_PROGRAM_MAX_BYTES
+
+    assert 1024 * 960 * 2 <= _SINGLE_PROGRAM_MAX_BYTES
+    assert 1024 * 960 * 4 > _SINGLE_PROGRAM_MAX_BYTES
+    assert pallas_gn_viable((16, 32, 32, 960), itemsize=4)  # via 2-phase
 
 
 def test_2phase_odd_factor_chunk_matches_xla():

@@ -244,13 +244,15 @@ def fused_group_norm_2phase(
     )(x, moments, onehot, scale, bias)
 
 
-# bf16 block bytes (in + out, double-buffered) must clear the ~19 MB scoped
-# VMEM budget with room for the fp32 chunk intermediates: S*C elems * 2 B
-# * 2 bufs * 2 (in+out) + ~3 MB temps. 1.375M elems -> ~14 MB.
-_SINGLE_PROGRAM_MAX_ELEMS = 1_441_792  # 1.375 * 2^20
+# Block bytes (in + out, double-buffered) must clear the ~19 MB scoped
+# VMEM budget with room for the fp32 chunk intermediates: S*C elems *
+# itemsize * 2 bufs * 2 (in+out) + ~3 MB temps. The budget is in BYTES —
+# an fp32 input halves the element allowance (caught live: the TPU fp32
+# parity leg OOM'd scoped vmem at [16, 1024, 960] f32, which fits in bf16).
+_SINGLE_PROGRAM_MAX_BYTES = 1_441_792 * 2  # (1.375 * 2^20 elems) * 2 B
 
 
-def pallas_gn_viable(shape) -> bool:
+def pallas_gn_viable(shape, itemsize: int = 2) -> bool:
     """True when the Pallas dispatch can lower this channels-last shape.
 
     Large blocks route to the 2-phase grid kernel, whose S-chunks must be
@@ -259,7 +261,7 @@ def pallas_gn_viable(shape) -> bool:
     valid divisor is 8, a degenerate 8775-step grid) stay on XLA."""
     C = shape[-1]
     S = int(np.prod(shape[1:-1]))
-    if S * C <= _SINGLE_PROGRAM_MAX_ELEMS:
+    if S * C * itemsize <= _SINGLE_PROGRAM_MAX_BYTES:
         return True
     return _pick_chunk(S, target=max(8, 2**19 // C), multiple=8) >= 64
 
@@ -271,7 +273,8 @@ def group_norm_silu_pallas(x: jnp.ndarray, num_groups: int, scale, bias,
     B = shape[0]
     C = shape[-1]
     S = int(np.prod(shape[1:-1]))
-    fn = (fused_group_norm if S * C <= _SINGLE_PROGRAM_MAX_ELEMS
+    fn = (fused_group_norm
+          if S * C * x.dtype.itemsize <= _SINGLE_PROGRAM_MAX_BYTES
           else fused_group_norm_2phase)
     y = fn(
         x.reshape(B, S, C), scale, bias,

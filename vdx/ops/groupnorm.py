@@ -139,7 +139,7 @@ def _dispatch(x, num_groups, scale, bias, eps, stats_axis_name, with_silu,
     ):
         from vdx.kernels.groupnorm import pallas_gn_viable
 
-        if pallas_gn_viable(x.shape):
+        if pallas_gn_viable(x.shape, x.dtype.itemsize):
             return _gn_pallas(x, scale, bias, num_groups, eps, with_silu)
     ref = _group_norm_silu_xla if with_silu else _group_norm_xla
     return ref(x, num_groups, scale, bias, eps, stats_axis_name, frame_mask)
