@@ -60,7 +60,7 @@ def _onehot(C: int, G: int) -> jnp.ndarray:
 
 
 def _gn_kernel(x_ref, onehot_ref, scale_ref, bias_ref, o_ref, *, chunk,
-               group_size, eps, with_silu):
+               group_size, eps, with_silu, hp):
     S = x_ref.shape[1]
     G = onehot_ref.shape[1]
     onehot = onehot_ref[:]  # [C, G] fp32
@@ -90,9 +90,13 @@ def _gn_kernel(x_ref, onehot_ref, scale_ref, bias_ref, o_ref, *, chunk,
 
     # broadcast group stats back to channels: [1, G] @ [G, C] -> [1, C]
     mean_c = jax.lax.dot_general(mean, onehot, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
+                            if hp else None)
     inv_c = jax.lax.dot_general(inv, onehot, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
+                            if hp else None)
     sc = scale_ref[:].astype(jnp.float32)[None, :] * inv_c
     off = bias_ref[:].astype(jnp.float32)[None, :] - mean_c * sc
 
@@ -127,6 +131,7 @@ def fused_group_norm(
     kernel = functools.partial(
         _gn_kernel, chunk=_pick_chunk(S, max(8, 2**18 // C)),
         group_size=C // G, eps=eps, with_silu=with_silu,
+        hp=x.dtype == jnp.float32,
     )
     return pl.pallas_call(
         kernel,
@@ -172,16 +177,20 @@ def _gn_stats_kernel(x_ref, onehot_ref, m_ref):
 
 
 def _gn_apply_kernel(x_ref, m_ref, onehot_ref, scale_ref, bias_ref, o_ref, *,
-                     denom, eps, with_silu):
+                     denom, eps, with_silu, hp):
     xa = x_ref[0].astype(jnp.float32)  # [CH, C]
     onehot = onehot_ref[:]
     mean = m_ref[0, 0][None] / denom  # [1, G]
     var = m_ref[0, 1][None] / denom - mean * mean
     inv = jax.lax.rsqrt(var + eps)
     mean_c = jax.lax.dot_general(mean, onehot, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
+                                 preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
+                            if hp else None)
     inv_c = jax.lax.dot_general(inv, onehot, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST
+                            if hp else None)
     sc = scale_ref[:].astype(jnp.float32)[None, :] * inv_c
     off = bias_ref[:].astype(jnp.float32)[None, :] - mean_c * sc
     y = xa * sc + off
@@ -227,7 +236,7 @@ def fused_group_norm_2phase(
 
     kernel = functools.partial(
         _gn_apply_kernel, denom=float(S * (C // G)), eps=eps,
-        with_silu=with_silu,
+        with_silu=with_silu, hp=x.dtype == jnp.float32,
     )
     return pl.pallas_call(
         kernel,

@@ -160,10 +160,16 @@ class GEGLU(nn.Module):
             name="proj",
         )(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        # exact (erf) gelu: diffusers' GEGLU calls F.gelu with the default
-        # approximate="none" — the tanh approximation drifts ~1e-3 at |x|~2,
-        # visible against real checkpoints (tests/test_block_parity.py).
-        return h * nn.gelu(gate.astype(jnp.float32), approximate=False).astype(
+        # diffusers' GEGLU uses the EXACT (erf) gelu (F.gelu default) — the
+        # tanh approximation drifts ~1e-3 at |x|~2, visible against real
+        # checkpoints at fp32 (tests/test_block_parity.py). Under bf16
+        # compute the product is rounded to bf16 (~4e-3 relative) anyway,
+        # and exact erf measures +34 ms on the UNet forward (+8.4%,
+        # PERF.md round 5) — so bf16 keeps the tanh form, a scoped
+        # precision-policy exception like the bf16-probs softmax
+        # (CLAUDE.md invariants).
+        approx = h.dtype == jnp.bfloat16
+        return h * nn.gelu(gate.astype(jnp.float32), approximate=approx).astype(
             h.dtype
         )
 
