@@ -5,6 +5,15 @@ the production config (BASELINE.md). This CI-scale proxy runs the tiny
 pipeline under both policies with identical weights/seed and bounds the
 mixed-precision error; at tiny scale with random weights the measured PSNR
 is ~36 dB — the test asserts a robust >= 30 dB floor and same-argmax pixels.
+
+The REAL mid-scale measurement lives in scripts/parity_probe_midscale.py +
+PERF.md "round-5 numerics": with RANDOM weights, cross-backend comparisons
+decorrelate after one step at every precision (sampler-update cancellation
+chaos — not a numerics property), so the production acceptance evidence is
+(a) single-forward cross-backend agreement 38.9 dB on the full 1.3B UNet,
+(b) matched-backend full-pipeline bf16-vs-fp32 28.5 dB, and (c) this
+matched-backend proxy; the >=40 dB criterion re-measures on real
+(contractive) checkpoints on weights day.
 """
 
 import numpy as np
